@@ -1,0 +1,179 @@
+"""Spark kernels vs the NumPy oracle at the reference's own tolerances
+(rtol=1e-4, atol=1e-4 — /root/reference/tests/test_pcm.py:22)."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+
+import hdstats_oracle as hdo
+from hdstats_spark.operators.channels import channelize
+from hdstats_spark.operators.features import change_features, complexity
+from hdstats_spark.operators.gapfill import completion, densify
+from hdstats_spark.operators.kernels import (
+    discordance_agg,
+    dtw_to_area_median,
+    fourier_features,
+    geomedian_agg,
+    mad_agg,
+    symmetry_agg,
+)
+from hdstats_spark.operators.rollup import rollup_raw
+from hdstats_spark.schema import CHANNELS
+
+
+@pytest.fixture(scope="module")
+def dense(spark, transcripts):
+    tier = rollup_raw(channelize(transcripts), "1m")
+    d = completion(densify(tier, "1m")).cache()
+    d.count()
+    return d
+
+
+def _series_matrices(dense_pdf, channels=CHANNELS):
+    """conv_id → (p, n) float32 matrix, ordered by bucket."""
+    out = {}
+    for cid, g in dense_pdf.groupby("conv_id"):
+        g = g.sort_values("bucket")
+        out[cid] = g[list(channels)].to_numpy(dtype=np.float32, na_value=np.nan).T
+    return out
+
+
+def test_completion_leaves_no_nulls(dense):
+    for c in CHANNELS:
+        assert dense.filter(f"{c} IS NULL").count() == 0
+
+
+def test_completion_matches_oracle(spark, transcripts, dense):
+    """Spark window-function gap-fill ≡ reference completion on every series."""
+    sparse = densify(rollup_raw(channelize(transcripts), "1m"), "1m").toPandas()
+    filled = dense.toPandas()
+    for cid, g in list(sparse.groupby("conv_id"))[:30]:
+        g = g.sort_values("bucket")
+        raw = g[["turn_rate"]].to_numpy(dtype=np.float32, na_value=np.nan).T
+        expect = hdo.completion(raw[None, :, :])[0, 0]  # (1,1,n) per reference
+        got = (
+            filled[filled.conv_id == cid]
+            .sort_values("bucket")["turn_rate"]
+            .to_numpy(dtype=np.float32)
+        )
+        npt.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_geomedian_matches_oracle(dense):
+    gm = geomedian_agg(dense, CHANNELS).toPandas().set_index("conv_id")
+    mats = _series_matrices(dense.toPandas())
+    for cid, X in list(mats.items())[:25]:
+        expect = hdo.nangeomedian(X) if X.shape[1] >= 3 else None
+        if expect is None:
+            continue
+        got = gm.loc[cid, [f"gm_{c}" for c in CHANNELS]].to_numpy(dtype=np.float32)
+        npt.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_mads_match_oracle(dense):
+    gm_df = geomedian_agg(dense, CHANNELS)
+    mads = mad_agg(dense, gm_df, CHANNELS).toPandas().set_index("conv_id")
+    gm = gm_df.toPandas().set_index("conv_id")
+    mats = _series_matrices(dense.toPandas())
+    for cid, X in list(mats.items())[:15]:
+        g = gm.loc[cid].to_numpy(dtype=np.float32)
+        X4 = X[None, None, :, :]
+        g3 = g[None, None, :]
+        npt.assert_allclose(
+            mads.loc[cid, "emad"], hdo.emad_pcm(X4, g3)[0, 0], rtol=1e-4, atol=1e-4
+        )
+        npt.assert_allclose(
+            mads.loc[cid, "smad"], hdo.smad_pcm(X4, g3)[0, 0], rtol=1e-4, atol=1e-4
+        )
+        npt.assert_allclose(
+            mads.loc[cid, "bcmad"], hdo.bcmad_pcm(X4, g3)[0, 0], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_change_features_match_oracle(dense):
+    feats = (
+        change_features(dense, "turn_rate").toPandas().set_index("conv_id")
+    )
+    comp = complexity(dense, "turn_rate").toPandas().set_index("conv_id")
+    mats = _series_matrices(dense.toPandas(), ["turn_rate"])
+    for cid, X in list(mats.items())[:20]:
+        x = X[0][None, None, :].astype(np.float32)  # (1,1,n)
+        if x.shape[-1] < 3:
+            continue
+        npt.assert_allclose(
+            feats.loc[cid, "mean_change"], hdo.mean_change(x)[0, 0], rtol=1e-4, atol=1e-4
+        )
+        npt.assert_allclose(
+            feats.loc[cid, "median_change"], hdo.median_change(x)[0, 0], rtol=1e-4, atol=1e-4
+        )
+        npt.assert_allclose(
+            feats.loc[cid, "mean_abs_change"], hdo.mean_abs_change(x)[0, 0], rtol=1e-4, atol=1e-4
+        )
+        npt.assert_allclose(
+            feats.loc[cid, "mean_central_diff"],
+            hdo.mean_central_diff(x)[0, 0],
+            rtol=1e-4,
+            atol=1e-4,
+        )
+        with np.errstate(all="ignore"):
+            expect_c = hdo.complexity(x.astype(np.float64))[0, 0]
+        got_c = comp.loc[cid, "complexity"]
+        if np.isnan(expect_c):
+            assert got_c is None or np.isnan(got_c)
+        else:
+            npt.assert_allclose(got_c, expect_c, rtol=1e-3, atol=1e-4)
+
+
+def test_fourier_matches_oracle(dense):
+    ff = fourier_features(dense, "turn_rate", n=2, step=3).toPandas().set_index("conv_id")
+    mats = _series_matrices(dense.toPandas(), ["turn_rate"])
+    for cid, X in list(mats.items())[:15]:
+        x = X[0][None, None, :]
+        if x.shape[-1] < 8:
+            continue
+        npt.assert_allclose(
+            ff.loc[cid, ["fmean_0", "fmean_1"]].to_numpy(np.float32),
+            hdo.fourier_mean(x, n=2, step=3)[0, 0],
+            rtol=1e-4,
+            atol=1e-3,
+        )
+        npt.assert_allclose(
+            ff.loc[cid, ["fstd_0", "fstd_1"]].to_numpy(np.float32),
+            hdo.fourier_std(x, n=2, step=3)[0, 0],
+            rtol=1e-4,
+            atol=1e-3,
+        )
+
+
+def test_symmetry_zero_for_constant(spark):
+    rows = [
+        ("a", i, 2.0, 4.0, 6.0, 8.0, 1.0, 1.0, 1.0, 1.0) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "bucket", *CHANNELS])
+    gm = geomedian_agg(df, CHANNELS, order_col="bucket")
+    s = symmetry_agg(df, gm, CHANNELS).collect()[0]["symmetry"]
+    assert abs(s) < 1e-5
+
+
+def test_discordance_and_dtw(dense):
+    # align on the bucket index; restrict to equal-length series for an exact
+    # oracle comparison (the reference's stacks share one time axis)
+    pdf = dense.toPandas()
+    lens = pdf.groupby("conv_id").size()
+    nmode = lens.mode()[0]
+    keep = lens[lens == nmode].index
+    sub = dense.filter(dense.conv_id.isin([str(k) for k in keep]))
+    disc = discordance_agg(sub, "turn_rate", n=3).toPandas().set_index("conv_id")
+    dtwd = dtw_to_area_median(sub, "turn_rate", true_dtw=False).toPandas().set_index("conv_id")
+
+    sp = pdf[pdf.conv_id.isin(keep)]
+    mats = _series_matrices(sp, ["turn_rate"])
+    cids = sorted(mats)
+    stack = np.stack([mats[c][0] for c in cids])[:, None, :]  # (Y,1,n)
+    o_disc = hdo.discordance(stack.astype(np.float32), n=3)[:, 0]
+    o_warp = hdo.area_warp_similarity(stack.astype(np.float32))[:, 0]
+    got_disc = disc.loc[cids, "discordance"].to_numpy(np.float32)
+    got_warp = dtwd.loc[cids, "dtw_dist"].to_numpy(np.float32)
+    npt.assert_allclose(got_disc, o_disc, rtol=1e-3, atol=1e-3)
+    npt.assert_allclose(got_warp, o_warp, rtol=1e-3, atol=1e-3)
