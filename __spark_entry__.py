@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship pipeline on sf0.001: events → transcript-style 1m
+               rollup → dense gap-fill → per-series geometric median
+               composite (the reference's nangeomedian_pcm recast as a
+               continuous aggregate, SURVEY.md §3.1).
+queries()    — one entry per implemented operator (SURVEY.md §2), each
+               (spark, sf_dir) → DataFrame.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query; the
+               grouped-UDF kernels (geomedian, gm-based MADs, fourier,
+               discordance, DTW, minhash/simhash) are non-SQL-expressible and
+               get rows-only checks here + pytest parity vs hdstats_oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from hdstats_spark.driver_queries import _event_buckets
+    from hdstats_spark.operators.gapfill import completion, densify
+    from hdstats_spark.operators.series import geomedian_mads_batched, series_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    channels = ["cnt_click", "cnt_view", "cnt_purchase", "cnt_signup", "cnt_error", "v_sum", "v_max", "n_events"]
+    tier = _event_buckets(spark, sf_dir, "hour").withColumnRenamed("user_id", "conv_id")
+    tier = tier.withColumn("conv_id", F.col("conv_id").cast("string"))
+    dense = completion(densify(tier, "1h", channels), channels)
+    return geomedian_mads_batched(series_table(dense, channels), channels)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from hdstats_spark import driver_queries as dq
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dq.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from hdstats_spark import driver_queries as dq
+
+    return dq.oracles()

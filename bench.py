@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "points_per_sec": ...}
+
+Every query is forced through a noop sink so the full plan (including
+projections the optimizer would prune under count()) executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "rollup_1d_cascade",
+    "gapfill_completion",
+    "change_features",
+    "complexity",
+    "mad_vs_centroid",
+    "sessionize",
+    "pricing_summary",
+    "top_customers",
+    "doc_stats",
+    "exact_dedup",
+    "lang_id",
+    "knn_cosine",
+    "embedding_dups",
+]
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def flagship_geomedian(spark, sf_dir):
+    """The nangeomedian_pcm + MAD continuous aggregate over the events table:
+    tier rollup → dense gap-fill → series table → batched Weiszfeld + MADs."""
+    from pyspark.sql import functions as F
+
+    from hdstats_spark.driver_queries import _event_buckets
+    from hdstats_spark.operators.gapfill import completion, densify
+    from hdstats_spark.operators.series import geomedian_mads_batched, series_table
+
+    channels = [
+        "cnt_click", "cnt_view", "cnt_purchase", "cnt_signup", "cnt_error",
+        "v_sum", "v_max", "n_events",
+    ]
+    tier = (
+        _event_buckets(spark, sf_dir, "hour")
+        .withColumn("conv_id", F.col("user_id").cast("string"))
+        .drop("user_id")
+    )
+    dense = completion(densify(tier, "1h", channels), channels)
+    return geomedian_mads_batched(series_table(dense, channels), channels)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from hdstats_spark import driver_queries as dq
+    from hdstats_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = dq.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship kernel aggregate + rolled-up points/sec (the BASELINE metric:
+    # tier rows produced per second per executor across raw→1m→1h→1d)
+    t0 = time.perf_counter()
+    run_query(flagship_geomedian(spark, sf_dir))
+    timings["geomedian_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = time.perf_counter()
+    n_points = 0
+    for unit in ("minute", "hour", "day"):
+        n_points += (
+            ev.groupBy("user_id", F.date_trunc(unit, "ts").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .count()
+        )
+    tier_sec = time.perf_counter() - t0
+    timings["tier_cascade_points"] = round(tier_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "points_per_sec": round(n_points / tier_sec, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,757 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 on the driver's
+testdata tables.  The ``events`` table is the transcript stand-in
+(FIXTURES.md F6: user_id ↔ conv_id, event_type ↔ role/tool, value ↔ channel);
+``documents``/``embeddings`` drive the training-data-pipeline operators.
+
+Contract discipline:
+  * every computed column is aliased identically in the Spark query and the
+    SQL oracle (the driver hashes values after sorting columns by name);
+  * floats are rounded to 6 dp on BOTH sides (summation-order noise);
+  * sums are cast to BIGINT in DuckDB (its SUM yields HUGEINT) and kept LONG
+    in Spark;
+  * divisions use try_divide ↔ nullif(x,0) so both sides yield NULL.
+
+Kernels that SQL cannot express (Weiszfeld geomedian, FFT discordance,
+fourier bands, DTW, minhash/simhash banding) appear in QUERIES without an
+ORACLES entry → the driver records the weaker rows-only check; their exact
+semantics are pytest-verified against hdstats_oracle instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .schema import CHANNELS
+
+# ---------------------------------------------------------------- helpers
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+#: per-bucket channel vector for the events table (the "band" axis)
+EVENT_CHANNELS = tuple(f"cnt_{t}" for t in EVENT_TYPES) + ("v_sum", "v_max", "n_events")
+
+STOPWORDS = ("the", "a", "of", "and", "key", "value")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+def _event_buckets(spark, sf_dir, unit="hour") -> DataFrame:
+    """events → (user_id, bucket, channel vector) — the events-table analogue
+    of rollup_raw."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"cnt_{t}")
+        for t in EVENT_TYPES
+    ]
+    aggs += [
+        F.sum("value").alias("v_sum"),
+        F.max("value").alias("v_max"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    return ev.groupBy("user_id", F.date_trunc(unit, "ts").alias("bucket")).agg(*aggs)
+
+
+_EVENT_BUCKETS_SQL = """
+    SELECT user_id, date_trunc('{unit}', ts) AS bucket,
+           {cnts},
+           sum(value) AS v_sum, max(value) AS v_max,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+""".strip()
+
+
+def _event_buckets_sql(unit="hour"):
+    cnts = ",\n           ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_{t}"
+        for t in EVENT_TYPES
+    )
+    return _EVENT_BUCKETS_SQL.format(unit=unit, cnts=cnts)
+
+
+# ---------------------------------------------------------------- tier rollups
+
+def q_rollup_1m(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r6(F.sum("value")).alias("v_sum"),
+        _r6(F.avg("value")).alias("v_avg"),
+        _r6(F.min("value")).alias("v_min"),
+        _r6(F.max("value")).alias("v_max"),
+    )
+
+
+SQL_ROLLUP_1M = """
+SELECT user_id, date_trunc('minute', ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS v_sum,
+       round(avg(value), 6) AS v_avg,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max
+FROM events GROUP BY 1, 2
+"""
+
+
+def _rollup_sums(spark, sf_dir, unit):
+    """Engine-style composable rollup (sums only) at the given unit — built by
+    CASCADING from the minute tier, which is what the oracle's direct GROUP BY
+    must equal (retention-tier invariant)."""
+    ev = _t(spark, sf_dir, "events")
+    t1m = ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("v_sum"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    return t1m.groupBy("user_id", F.date_trunc(unit, "bucket").alias("bucket")).agg(
+        F.sum("n_events").alias("n_events"),
+        _r6(F.sum("v_sum")).alias("v_sum"),
+        _r6(F.min("v_min")).alias("v_min"),
+        _r6(F.max("v_max")).alias("v_max"),
+    )
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    return _rollup_sums(spark, sf_dir, "hour")
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    return _rollup_sums(spark, sf_dir, "day")
+
+
+def _sql_rollup_direct(unit):
+    return f"""
+SELECT user_id, date_trunc('{unit}', ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS v_sum,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- gap-fill
+
+def q_gapfill_locf(spark, sf_dir):
+    """Forward-fill of a sparsified measure (completion phase 1,
+    tsslow.py:11-17): 'error' rows carry no value."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r6(F.last(v, ignorenulls=True).over(w)).alias("v_filled"),
+    )
+
+
+SQL_GAPFILL_LOCF = """
+SELECT event_id, user_id,
+       round(last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+FROM events
+"""
+
+
+def q_gapfill_completion(spark, sf_dir):
+    """Full completion semantics (tsslow.py:10-26): forward-fill, then fill
+    residual leading holes with the per-series mean of the filled series."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    ff = ev.select(
+        "event_id", "user_id", F.last(v, ignorenulls=True).over(w).alias("_ff")
+    )
+    wall = Window.partitionBy("user_id")
+    return ff.select(
+        "event_id",
+        "user_id",
+        _r6(F.coalesce(F.col("_ff"), F.avg("_ff").over(wall))).alias("v_completed"),
+    )
+
+
+SQL_GAPFILL_COMPLETION = """
+WITH ff AS (
+  SELECT event_id, user_id,
+         last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _ff
+  FROM events
+)
+SELECT event_id, user_id,
+       round(coalesce(_ff, avg(_ff) OVER (PARTITION BY user_id)), 6) AS v_completed
+FROM ff
+"""
+
+
+# ---------------------------------------------------------------- change features
+
+def q_change_features(spark, sf_dir):
+    """ts.pyx:195-209 change features over each user's hourly mean series."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.avg("value").alias("v"))
+    )
+    from .operators.features import change_features
+
+    out = change_features(hourly, "v", order_col="bucket", key_col="user_id")
+    return out.select(
+        "user_id",
+        _r6("mean_change").alias("mean_change"),
+        _r6("median_change").alias("median_change"),
+        _r6("mean_abs_change").alias("mean_abs_change"),
+        _r6("mean_central_diff").alias("mean_central_diff"),
+    )
+
+
+SQL_CHANGE_FEATURES = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id,
+         v - lag(v) OVER w AS diff,
+         (lag(v) OVER w - 2*v + lead(v) OVER w) / 2.0 AS central,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM hourly WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+)
+SELECT user_id,
+       round(avg(diff), 6) AS mean_change,
+       round(median(diff), 6) AS median_change,
+       round(avg(abs(diff)), 6) AS mean_abs_change,
+       round(avg(CASE WHEN rn > 1 AND rn < n THEN central END), 6) AS mean_central_diff
+FROM d GROUP BY user_id
+"""
+
+
+def q_complexity(spark, sf_dir):
+    """ts.pyx:212-219 over each user's hourly mean series (population σ)."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.avg("value").alias("v"))
+    )
+    from .operators.features import complexity
+
+    out = complexity(hourly, "v", order_col="bucket", key_col="user_id")
+    return out.select("user_id", _r6("complexity").alias("complexity"))
+
+
+SQL_COMPLEXITY = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), z AS (
+  SELECT user_id, bucket,
+         (v - avg(v) OVER (PARTITION BY user_id))
+           / nullif(stddev_pop(v) OVER (PARTITION BY user_id), 0) AS zv
+  FROM hourly
+), d AS (
+  SELECT user_id, zv - lag(zv) OVER (PARTITION BY user_id ORDER BY bucket) AS dz
+  FROM z
+)
+SELECT user_id, round(sum(dz * dz), 6) AS complexity
+FROM d GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- MAD trio vs centroid
+
+def q_mad_vs_centroid(spark, sf_dir):
+    """The MAD pipeline shape (geomad.pyx:200-350) with an SQL-checkable
+    centroid (arithmetic mean) standing in for the geomedian: per-user median
+    of {euclidean, cosine, Bray-Curtis} distance between each hourly channel
+    vector and the user's mean vector.  The gm-based variant is
+    q_geomedian/q_mads (rows-only)."""
+    b = _event_buckets(spark, sf_dir, "hour")
+    chans = list(EVENT_CHANNELS)
+    cent = b.groupBy("user_id").agg(
+        *[F.avg(c).alias(f"c_{c}") for c in chans]
+    )
+    j = b.join(F.broadcast(cent), "user_id")
+    diffsq = sum(
+        ((F.col(c) - F.col(f"c_{c}")) * (F.col(c) - F.col(f"c_{c}")) for c in chans[1:]),
+        (F.col(chans[0]) - F.col(f"c_{chans[0]}")) * (F.col(chans[0]) - F.col(f"c_{chans[0]}")),
+    )
+    dot = sum((F.col(c) * F.col(f"c_{c}") for c in chans[1:]), F.col(chans[0]) * F.col(f"c_{chans[0]}"))
+    na = sum((F.col(c) * F.col(c) for c in chans[1:]), F.col(chans[0]) * F.col(chans[0]))
+    nb = sum((F.col(f"c_{c}") * F.col(f"c_{c}") for c in chans[1:]), F.col(f"c_{chans[0]}") * F.col(f"c_{chans[0]}"))
+    adiff = sum((F.abs(F.col(c) - F.col(f"c_{c}")) for c in chans[1:]), F.abs(F.col(chans[0]) - F.col(f"c_{chans[0]}")))
+    asum = sum((F.abs(F.col(c) + F.col(f"c_{c}")) for c in chans[1:]), F.abs(F.col(chans[0]) + F.col(f"c_{chans[0]}")))
+    d = j.select(
+        "user_id",
+        F.sqrt(diffsq).alias("_ed"),
+        (F.lit(1.0) - F.try_divide(dot, F.sqrt(na) * F.sqrt(nb))).alias("_cd"),
+        F.try_divide(adiff, asum).alias("_bd"),
+    )
+    return d.groupBy("user_id").agg(
+        _r6(F.median("_ed")).alias("emad"),
+        _r6(F.median("_cd")).alias("smad"),
+        _r6(F.median("_bd")).alias("bcmad"),
+    )
+
+
+def _sql_mad_vs_centroid():
+    chans = list(EVENT_CHANNELS)
+    diffsq = " + ".join(f"(b.{c} - c.c_{c}) * (b.{c} - c.c_{c})" for c in chans)
+    dot = " + ".join(f"b.{c} * c.c_{c}" for c in chans)
+    na = " + ".join(f"b.{c} * b.{c}" for c in chans)
+    nb = " + ".join(f"c.c_{c} * c.c_{c}" for c in chans)
+    adiff = " + ".join(f"abs(b.{c} - c.c_{c})" for c in chans)
+    asum = " + ".join(f"abs(b.{c} + c.c_{c})" for c in chans)
+    cents = ", ".join(f"avg({c}) AS c_{c}" for c in chans)
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+c AS (SELECT user_id, {cents} FROM b GROUP BY user_id),
+d AS (
+  SELECT b.user_id,
+         sqrt({diffsq}) AS _ed,
+         1.0 - ({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0) AS _cd,
+         ({adiff}) / nullif(({asum}), 0) AS _bd
+  FROM b JOIN c ON b.user_id = c.user_id
+)
+SELECT user_id,
+       round(median(_ed), 6) AS emad,
+       round(median(_cd), 6) AS smad,
+       round(median(_bd), 6) AS bcmad
+FROM d GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- sessionize / topk / pivot
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-minute idle rule) — the streaming-tier
+    analogue of per-conversation segmentation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    s = ev.select("user_id", flag.alias("_new"))
+    return s.groupBy("user_id").agg(F.sum("_new").alias("n_sessions"))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+)
+SELECT user_id, CAST(sum(_new) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+"""
+
+
+def q_topk_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), _r6(F.sum("value")).alias("v_sum")
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("user_id", "n_events", "v_sum", "rnk")
+    )
+
+
+SQL_TOPK_USERS = """
+WITH agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS v_sum
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, v_sum,
+       CAST(row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS INT) AS rnk
+FROM agg QUALIFY rnk <= 10
+"""
+
+
+def q_events_pivot(spark, sf_dir):
+    """Conditional-aggregation pivot: per-user counts by event type."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"cnt_{t}")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+def _sql_events_pivot():
+    cnts = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"SELECT user_id,\n       {cnts}\nFROM events GROUP BY user_id"
+
+
+# ---------------------------------------------------------------- relational (scan/join/agg)
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style scan+filter+agg over lineitem (predicate pushdown
+    showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast join orders ⋈ customer + top-10 by revenue."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_r6(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("c_custkey", "c_name", "revenue", "n_orders", "rnk")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+WITH agg AS (
+  SELECT c_custkey, c_name, round(sum(o_totalprice), 6) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+)
+SELECT c_custkey, c_name, revenue, n_orders,
+       CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rnk
+FROM agg QUALIFY rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------- documents: text analysis & dedup
+
+def q_doc_stats(spark, sf_dir):
+    """Token counting + quality scoring (training-data text analysis)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_eng"),
+        _r6(F.try_divide(F.length("text").cast("double"), n_tok)).alias("chars_per_token"),
+        n_stop.alias("n_stop_distinct"),
+        _r6(
+            F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+            + F.try_divide(n_stop.cast("double"), F.lit(len(STOPWORDS))) * 0.5
+        ).alias("quality"),
+    )
+
+
+_SQL_DOC_STATS = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_eng,
+       round(CAST(length(text) AS DOUBLE) / nullif(len(string_split_regex(trim(text), '\\s+')), 0), 6) AS chars_per_token,
+       CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+                               {list(STOPWORDS)})) AS INT) AS n_stop_distinct,
+       round(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
+             + len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+                                  {list(STOPWORDS)})) / {float(len(STOPWORDS))} * 0.5, 6) AS quality
+FROM documents
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash: canonical = min doc_id per md5(text)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (lowercase, collapse whitespace)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "de"),
+    "it": ("il", "e", "di"),
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-occurrence language-ID heuristic: one word-boundary regex scan
+    per language (JVM-side), argmax with alphabetical tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    scores = [
+        F.struct(
+            F.regexp_count(F.lower("text"), F.lit(r"\b(" + "|".join(ms) + r")\b")).alias("s"),
+            F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("tb"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ms in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scores)  # struct compare: score, then reversed-alpha tb
+    return d.select("doc_id", best.getField("lang").alias("pred_lang"))
+
+
+def _sql_lang_id():
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{lang}' AS lang, "
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ms)})\\b')) AS sc "
+        "FROM documents"
+        for lang, ms in sorted(_LANG_MARKERS.items())
+    )
+    return f"""
+WITH s AS (
+{arms}
+)
+SELECT doc_id, lang AS pred_lang FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------- embeddings: similarity search
+
+def _collect_embeddings(spark, sf_dir, predicate=None):
+    """Small-side embedding matrix for broadcasting (ids, float64 matrix,
+    norms).  At 100 TB the small side is the query/codebook table; the
+    corpus always stays distributed."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if predicate is not None:
+        e = e.filter(predicate)
+    pdf = e.toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return ids, M, np.sqrt((M * M).sum(axis=1))
+
+
+def q_knn_cosine(spark, sf_dir, k=5, n_queries=5):
+    """Brute-force cosine top-k — the exact ANN baseline.  The tiny query set
+    is broadcast as a NumPy matrix; the distributed corpus streams through a
+    mapInPandas GEMM (Arrow batches × BLAS), then one window picks top-k."""
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, qnorm = _collect_embeddings(spark, sf_dir, F.col("vec_id") < n_queries)
+    sc = spark.sparkContext
+    bq = sc.broadcast((qids, Q, qnorm))
+    corpus = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= n_queries)
+
+    def gemm(batches):
+        ids_q, Qm, qn = bq.value
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            S = (X @ Qm.T) / (xn[:, None] * qn[None, :])  # (batch, nq)
+            nb, nq = S.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(ids_q, nb),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
+                    "_sim": S.ravel(),
+                }
+            )
+
+    sims = corpus.select("vec_id", "embedding").mapInPandas(
+        gemm, "query_id long, neighbor_id long, _sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", _r6("_sim").alias("cos_sim"), "rnk")
+    )
+
+
+def _sql_knn_cosine(k=5, n_queries=5):
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {n_queries}),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS _sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, round(_sim, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY _sim DESC, neighbor_id ASC) AS INT) AS rnk
+FROM sims QUALIFY rnk <= {k}
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label elementwise centroid (posexplode + re-agg)."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("dim0", "val"))
+    return (
+        x.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(_r6(F.avg("val")).alias("centroid"))
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH x AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim, round(avg(val), 6) AS centroid
+FROM x GROUP BY label, dim
+"""
+
+
+def q_embedding_dups(spark, sf_dir, threshold=0.4):
+    """Embedding-cosine near-duplicate pairs (vec_id a < b, sim ≥ τ).
+
+    Broadcast the (small) reference matrix, stream the distributed corpus
+    through a mapInPandas GEMM, keep pairs with ROUNDED sim ≥ τ.  τ=0.4 on
+    this synthetic corpus (no pair exceeds 0.6); production dedup uses 0.9+.
+    For corpora too large to broadcast, dedup_embedding_lsh (operators/dedup)
+    is the bucketed scale path."""
+    import numpy as np
+    import pandas as pd
+
+    ids, M, norms = _collect_embeddings(spark, sf_dir)
+    bref = spark.sparkContext.broadcast((ids, M, norms))
+    corpus = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def gemm(batches):
+        rid, RM, rn = bref.value
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            S = np.round((X @ RM.T) / (xn[:, None] * rn[None, :]), 6)
+            ii, jj = np.nonzero((S >= threshold) & (xids[:, None] < rid[None, :]))
+            yield pd.DataFrame(
+                {"id_a": xids[ii], "id_b": rid[jj], "cos_sim": S[ii, jj]}
+            )
+
+    return corpus.mapInPandas(gemm, "id_a long, id_b long, cos_sim double")
+
+
+def _sql_embedding_dups(threshold=0.4):
+    return f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+def queries():
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "gapfill_locf": q_gapfill_locf,
+        "gapfill_completion": q_gapfill_completion,
+        "change_features": q_change_features,
+        "complexity": q_complexity,
+        "mad_vs_centroid": q_mad_vs_centroid,
+        "sessionize": q_sessionize,
+        "topk_users": q_topk_users,
+        "events_pivot": q_events_pivot,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "doc_stats": q_doc_stats,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "knn_cosine": q_knn_cosine,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_dups": q_embedding_dups,
+    }
+
+
+def oracles():
+    return {
+        "rollup_1m": SQL_ROLLUP_1M,
+        "rollup_1h_cascade": _sql_rollup_direct("hour"),
+        "rollup_1d_cascade": _sql_rollup_direct("day"),
+        "gapfill_locf": SQL_GAPFILL_LOCF,
+        "gapfill_completion": SQL_GAPFILL_COMPLETION,
+        "change_features": SQL_CHANGE_FEATURES,
+        "complexity": SQL_COMPLEXITY,
+        "mad_vs_centroid": _sql_mad_vs_centroid(),
+        "sessionize": SQL_SESSIONIZE,
+        "topk_users": SQL_TOPK_USERS,
+        "events_pivot": _sql_events_pivot(),
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "doc_stats": _SQL_DOC_STATS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "fingerprint": SQL_FINGERPRINT,
+        "lang_id": _sql_lang_id(),
+        "knn_cosine": _sql_knn_cosine(),
+        "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+        "embedding_dups": _sql_embedding_dups(),
+    }

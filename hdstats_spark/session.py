@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # favor parallelism over fat partitions: window/kernel stages are
+        # CPU-bound per row, and 64 MB post-shuffle partitions would serialize
+        # them on small-to-medium inputs
+        # (at cluster scale shuffle bytes dwarf these floors; they only stop
+        # size-based coalescing from serializing CPU-bound stages on small
+        # local inputs)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", driver_memory)

@@ -1,0 +1,83 @@
+"""Batched kernels ≡ per-pixel oracle, including NaN-padding neutrality."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import hdstats_oracle as hdo
+from hdstats_oracle.geomedian import _nangeomedian_axis_one
+from hdstats_spark.kernels_np import mads_batch, nangeomedian_batch, pad_stack
+
+
+def _random_series(rng, p=8, nmin=3, nmax=60, count=40):
+    out = []
+    for _ in range(count):
+        n = int(rng.integers(nmin, nmax))
+        s = (0.2 + 0.1 * rng.standard_normal((p, n))).astype(np.float32)
+        if rng.random() < 0.3:  # sprinkle NaN observations
+            holes = rng.integers(0, n, size=max(1, n // 5))
+            s[:, holes] = np.nan
+        out.append(s)
+    return out
+
+
+def test_batch_equals_serial_unpadded():
+    rng = np.random.default_rng(0)
+    series = [s for s in _random_series(rng, count=30)]
+    X, lens = pad_stack(series)
+    got = nangeomedian_batch(X, lengths=lens)
+    for i, s in enumerate(series):
+        expect = _nangeomedian_axis_one(s)
+        npt.assert_array_equal(got[i], expect)  # bit-identical
+
+
+def test_padding_is_neutral():
+    rng = np.random.default_rng(1)
+    s = (0.5 + 0.1 * rng.standard_normal((8, 20))).astype(np.float32)
+    X1, l1 = pad_stack([s])
+    X2, l2 = pad_stack([s, s[:, :5]])  # forces padding of the 5-col series
+    a = nangeomedian_batch(X1, lengths=l1)[0]
+    b = nangeomedian_batch(X2, lengths=l2)[0]
+    npt.assert_array_equal(a, b)
+
+
+def test_constant_series_stall():
+    """All-anchor (constant) series must return the constant, not oscillate —
+    the padded-stall regression (geomedian.pyx:353 nzeros==n semantics)."""
+    const = np.full((8, 6), 3.5, dtype=np.float32)
+    longer = np.random.default_rng(2).normal(0.5, 0.1, (8, 30)).astype(np.float32)
+    X, lens = pad_stack([const, longer])
+    got = nangeomedian_batch(X, lengths=lens)
+    npt.assert_array_equal(got[0], np.full(8, 3.5, np.float32))
+    npt.assert_array_equal(got[1], _nangeomedian_axis_one(longer))
+
+
+def test_mads_batch_equals_oracle():
+    rng = np.random.default_rng(3)
+    series = _random_series(rng, count=20)
+    X, lens = pad_stack(series)
+    gm = nangeomedian_batch(X, lengths=lens)
+    mads = mads_batch(X, gm)
+    for i, s in enumerate(series):
+        s4 = s[None, None, :, :]
+        g3 = gm[i][None, None, :]
+        npt.assert_allclose(mads["emad"][i], hdo.emad_pcm(s4, g3)[0, 0], rtol=1e-4, atol=1e-4)
+        npt.assert_allclose(mads["smad"][i], hdo.smad_pcm(s4, g3)[0, 0], rtol=1e-4, atol=1e-4)
+        npt.assert_allclose(mads["bcmad"][i], hdo.bcmad_pcm(s4, g3)[0, 0], rtol=1e-4, atol=1e-4)
+
+
+def test_batch_speed_vs_serial():
+    """The batched kernel must beat the per-series loop by a wide margin."""
+    import time
+
+    rng = np.random.default_rng(4)
+    series = _random_series(rng, count=300, nmin=20, nmax=120)
+    X, lens = pad_stack(series)
+    t0 = time.perf_counter()
+    nangeomedian_batch(X, lengths=lens)
+    t_batch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for s in series[:30]:
+        _nangeomedian_axis_one(s)
+    t_serial = (time.perf_counter() - t0) * 10  # extrapolate to 300
+    assert t_batch < t_serial, (t_batch, t_serial)
