@@ -705,6 +705,180 @@ SELECT * FROM (
 """
 
 
+# ------------------------------------------------- kernel aggregates (rows-only)
+# Non-SQL-expressible reference kernels: the driver records rows-only checks;
+# exact semantics are pytest-verified against hdstats_oracle
+# (tests/test_kernels_spark.py, tests/test_kernels_batched.py).
+
+def _dense_event_series(spark, sf_dir):
+    from .operators.gapfill import completion, densify
+
+    tier = (
+        _event_buckets(spark, sf_dir, "hour")
+        .withColumn("conv_id", F.col("user_id").cast("string"))
+        .drop("user_id")
+    )
+    chans = list(EVENT_CHANNELS)
+    return completion(densify(tier, "1h", chans), chans), chans
+
+
+def q_geomedian_mads(spark, sf_dir):
+    """Flagship: nangeomedian_pcm + MAD trio as one batched continuous
+    aggregate (geomedian.pyx:472-517, geomad.pyx:200-350)."""
+    from .operators.series import geomedian_mads_batched, series_table
+
+    dense, chans = _dense_event_series(spark, sf_dir)
+    return geomedian_mads_batched(series_table(dense, chans), chans)
+
+
+def q_fourier_features(spark, sf_dir):
+    """fourier_mean/std/median bands (ts.pyx:159-192) of the hourly event
+    rate per user."""
+    from .operators.kernels import fourier_features
+
+    dense, _ = _dense_event_series(spark, sf_dir)
+    return fourier_features(dense, "n_events", n=3, step=5)
+
+
+def q_discordance(spark, sf_dir):
+    """FFT low-pass residual vs the area curve (ts.pyx:140-156)."""
+    from .operators.kernels import discordance_agg
+
+    dense, _ = _dense_event_series(spark, sf_dir)
+    return discordance_agg(dense, "n_events", n=10)
+
+
+def _area_median_curve(dense, value_col):
+    import numpy as np
+
+    rows = (
+        dense.groupBy("t")
+        .agg(F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("mv"))
+        .orderBy("t")
+        .collect()
+    )
+    return np.asarray([r["mv"] for r in rows], dtype=np.float64)
+
+
+def q_dtw_area(spark, sf_dir):
+    """Sakoe-Chiba-banded DTW of each user's hourly series to the area median
+    curve (dtw.pyx:35-53), batched wavefront kernel."""
+    from .operators.series import dtw_area_batched, series_table
+
+    dense, _ = _dense_event_series(spark, sf_dir)
+    ref = _area_median_curve(dense, "n_events")
+    st = series_table(dense, ["n_events"])
+    return dtw_area_batched(st, "n_events", ref, window=8)
+
+
+def q_area_warp(spark, sf_dir):
+    """Reference area_warp_similarity semantics exactly (ts.pyx:246-256):
+    series and area-median enter DTW as single n-dim points → L1/2."""
+    from .operators.series import dtw_area_batched, series_table
+
+    dense, _ = _dense_event_series(spark, sf_dir)
+    ref = _area_median_curve(dense, "n_events")
+    st = series_table(dense, ["n_events"])
+    return dtw_area_batched(st, "n_events", ref, l1_mode=True)
+
+
+# ------------------------------------------------- dedup & similarity (docs)
+
+def q_ngram_jaccard(spark, sf_dir, n=2, threshold=0.04):
+    """Exact word-bigram Jaccard pairs via shingle equi-join (SQL-checkable);
+    n=2 because the synthetic corpus has no 5-gram collisions."""
+    from .operators.dedup import shingle_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(d, threshold=threshold, n=n)
+
+
+def _sql_ngram_jaccard(n=2, threshold=0.04):
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+  FROM t
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM s a JOIN s b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 6) >= {threshold}
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (rows-only; recall pytest-verified
+    against exact Jaccard on planted duplicates)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, k=32, bands=8, threshold=0.2, n=2)
+
+
+def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs, Hamming ≤ 3 via 16-bit band blocking."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q_knn_lsh(spark, sf_dir):
+    """ANN top-5 by random-hyperplane LSH + exact re-rank (rows-only; recall
+    vs brute force pytest-verified)."""
+    from .operators.simsearch import knn_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return knn_lsh(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), dim,
+        topk=5, k=4, tables=32,
+    )
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Winnowing fingerprint containment pairs (Schleimer et al. 2003)."""
+    from .operators.textstats import fingerprint_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(d, threshold=0.3)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-asset feature extraction (decode stubbed, Spark plumbing real):
+    deterministic synthetic assets → 16-dim histogram features."""
+    from .operators.multimodal import extract_features, gen_assets
+
+    return extract_features(gen_assets(spark, n=60), dim=16)
+
+
+def q_compression_roundtrip(spark, sf_dir):
+    """Gorilla/delta-of-delta round-trip through Spark: compress the per-user
+    hourly tier to blocks, decompress, return per-user checksums (rows-only;
+    bit-exactness pytest-verified)."""
+    from .compression.tiercodec import compress_tier, decompress_tier
+    from .operators.series import series_table
+
+    tier, chans = _dense_event_series(spark, sf_dir)
+    blocks = compress_tier(series_table(tier, chans), chans)
+    back = decompress_tier(blocks, chans)
+    return back.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("v_sum"), 4).alias("v_sum_total"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries():
@@ -729,6 +903,20 @@ def queries():
         "knn_cosine": q_knn_cosine,
         "embedding_centroids": q_embedding_centroids,
         "embedding_dups": q_embedding_dups,
+        # kernel aggregates (rows-only checks; pytest-verified vs oracle)
+        "geomedian_mads": q_geomedian_mads,
+        "fourier_features": q_fourier_features,
+        "discordance": q_discordance,
+        "dtw_area": q_dtw_area,
+        "area_warp": q_area_warp,
+        # training-data dedup / similarity / multimodal
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
+        "knn_lsh": q_knn_lsh,
+        "winnow_overlap": q_winnow_overlap,
+        "multimodal_features": q_multimodal_features,
+        "compression_roundtrip": q_compression_roundtrip,
     }
 
 
@@ -754,4 +942,5 @@ def oracles():
         "knn_cosine": _sql_knn_cosine(),
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "embedding_dups": _sql_embedding_dups(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
     }

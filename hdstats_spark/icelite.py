@@ -1,0 +1,210 @@
+"""icelite — Iceberg-semantics emulation over Parquet + JSON metadata.
+
+The sandbox ships no Iceberg runtime jar (SURVEY.md §7), so tier tables get
+Iceberg's *operational* semantics — immutable snapshots, per-partition
+manifests, append / overwrite-by-partition, time travel by snapshot id, and
+lineage records — from a thin layer: Parquet data files laid out by partition
+plus a JSON metadata log.  The interface is deliberately shaped so a real
+deployment swaps `IceliteTable` for ``spark.read.format("iceberg")`` /
+``df.writeTo(...)`` without touching callers.
+
+Layout:
+    <root>/data/<partition>=<value>/part-*.parquet
+    <root>/metadata/snapshot-<id>.json     (one per commit)
+    <root>/metadata/current                 (id of the live snapshot)
+
+Each snapshot records: parent id, operation, the partition→files manifest,
+row counts, and a caller-supplied lineage dict (input snapshot-id, partition
+range, rows processed, metrics) — the checkpoint/resume contract of the
+north rule.  Commits are atomic via write-temp + rename of `current`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent_id: str | None
+    operation: str
+    partitions: dict  # partition value -> {"files": [...], "rows": int}
+    lineage: dict = field(default_factory=dict)
+    committed_at: float = 0.0
+
+    def to_json(self) -> dict:
+        return self.__dict__
+
+
+class IceliteTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------- metadata
+
+    def _snapshot_path(self, sid: str) -> str:
+        return os.path.join(self.meta_dir, f"snapshot-{sid}.json")
+
+    def current_snapshot_id(self) -> str | None:
+        cur = os.path.join(self.meta_dir, "current")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return f.read().strip() or None
+
+    def snapshot(self, sid: str | None = None) -> Snapshot | None:
+        sid = sid or self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(self._snapshot_path(sid)) as f:
+            return Snapshot(**json.load(f))
+
+    def snapshots(self) -> list[Snapshot]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("snapshot-"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    out.append(Snapshot(**json.load(f)))
+        return sorted(out, key=lambda s: s.committed_at)
+
+    def _commit(self, snap: Snapshot) -> Snapshot:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        snap.committed_at = time.time()
+        with open(self._snapshot_path(snap.snapshot_id), "w") as f:
+            json.dump(snap.to_json(), f, indent=2, default=str)
+        tmp = os.path.join(self.meta_dir, f".current.{snap.snapshot_id}")
+        with open(tmp, "w") as f:
+            f.write(snap.snapshot_id)
+        os.replace(tmp, os.path.join(self.meta_dir, "current"))  # atomic flip
+        return snap
+
+    # ------------------------------------------------------------- write
+
+    def _write_partition_files(
+        self, df: DataFrame, partition_col: str | None
+    ) -> dict:
+        """Write data files for this commit into a unique subdir and return
+        the partition manifest {value: {files, rows}}."""
+        commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
+        if partition_col is None:
+            df.write.mode("overwrite").parquet(commit_dir)
+            files = [
+                os.path.join(commit_dir, name)
+                for name in os.listdir(commit_dir)
+                if name.endswith(".parquet")
+            ]
+            rows = df.sparkSession.read.parquet(commit_dir).count()
+            return {"__all__": {"files": files, "rows": rows}}
+        # cluster by the partition column so each partition value is written
+        # by exactly one task (one file per partition instead of
+        # tasks×partitions tiny files); at 100 TB scale add a salt as a
+        # second clustering key so one day spans many writers
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        (
+            df.repartition(parallelism, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(commit_dir)
+        )
+        # one job for every partition's row count (reading back the files we
+        # just wrote, so the manifest reflects what is actually on disk)
+        spark = df.sparkSession
+        counts = {
+            str(r[partition_col]): r["count"]
+            for r in spark.read.parquet(commit_dir).groupBy(partition_col).count().collect()
+        }
+        manifest = {}
+        for entry in os.listdir(commit_dir):
+            if "=" not in entry:
+                continue
+            value = entry.split("=", 1)[1]
+            pdir = os.path.join(commit_dir, entry)
+            files = [
+                os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+            ]
+            manifest[value] = {"files": files, "rows": int(counts.get(value, 0))}
+        return manifest
+
+    def append(
+        self, df: DataFrame, partition_col: str | None = None, lineage: dict | None = None
+    ) -> Snapshot:
+        new = self._write_partition_files(df, partition_col)
+        prev = self.snapshot()
+        parts = dict(prev.partitions) if prev else {}
+        for value, m in new.items():
+            if value in parts:
+                parts[value] = {
+                    "files": parts[value]["files"] + m["files"],
+                    "rows": parts[value]["rows"] + m["rows"],
+                }
+            else:
+                parts[value] = m
+        return self._commit(
+            Snapshot(
+                snapshot_id=uuid.uuid4().hex[:16],
+                parent_id=prev.snapshot_id if prev else None,
+                operation="append",
+                partitions=parts,
+                lineage=lineage or {},
+            )
+        )
+
+    def overwrite_partitions(
+        self, df: DataFrame, partition_col: str, lineage: dict | None = None
+    ) -> Snapshot:
+        """Idempotent re-roll: replace exactly the partitions present in df
+        (late-data handling — SURVEY.md §2 streaming notes)."""
+        new = self._write_partition_files(df, partition_col)
+        prev = self.snapshot()
+        parts = dict(prev.partitions) if prev else {}
+        parts.update(new)  # replaced partitions point at the new files only
+        return self._commit(
+            Snapshot(
+                snapshot_id=uuid.uuid4().hex[:16],
+                parent_id=prev.snapshot_id if prev else None,
+                operation="overwrite",
+                partitions=parts,
+                lineage=lineage or {},
+            )
+        )
+
+    # ------------------------------------------------------------- read
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        partitions: list[str] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (default: current), optionally pruned to given
+        partition values — manifest-level partition pruning, so Spark never
+        even lists the skipped files."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        files = []
+        for value, m in snap.partitions.items():
+            if partitions is None or value in partitions:
+                files.extend(m["files"])
+        if not files:
+            raise ValueError("no files match the partition filter")
+        return spark.read.parquet(*files)
+
+    def committed_partitions(self) -> set[str]:
+        snap = self.snapshot()
+        return set(snap.partitions) if snap else set()
+
+    def rows(self, snapshot_id: str | None = None) -> int:
+        snap = self.snapshot(snapshot_id)
+        return sum(m["rows"] for m in snap.partitions.values()) if snap else 0

@@ -111,6 +111,61 @@ def nangeomedian_batch(
         return out
 
 
+def dtw_dist_batch(
+    X: np.ndarray,
+    ref: np.ndarray,
+    window: int | None = None,
+    lengths: np.ndarray | None = None,
+) -> np.ndarray:
+    """Batched DTW distance of every series X[g] (G, n) to a reference series
+    (n,), normalized by r+c (dtw.pyx:69-86 / banded :35-53).
+
+    The DP fills anti-diagonal wavefronts across ALL series at once: each
+    cell is cost + min of its three predecessors, stored float32 exactly as
+    the serial kernel, so results are bit-identical (verified in
+    tests/test_kernels_batched.py) while the Python-level loop is O(r+c)
+    instead of O(r·c) per series.
+
+    ``lengths`` restricts each series (and the reference) to its true prefix
+    length; shorter series are handled by masking cells beyond their extent.
+    """
+    G, n = X.shape
+    lens = np.full(G, n, dtype=np.int64) if lengths is None else np.asarray(lengths, np.int64)
+    r = c = n  # reference and series share the dense grid
+    # memory: D is G·(n+1)² float32 — callers chunk G (~2 MB/series at n=720)
+    D = np.full((G, r + 1, c + 1), np.inf, dtype=F32)
+    D[:, 0, 0] = 0.0
+    Xd = X.astype(F64)
+    rd = ref.astype(F64)
+    for d in range(2, r + c + 1):
+        i0 = max(1, d - c)
+        i1 = min(r, d - 1)
+        if i0 > i1:
+            continue
+        ii = np.arange(i0, i1 + 1)
+        jj = d - ii
+        if window is not None:
+            keep = np.abs(ii - jj) <= window
+            if not keep.any():
+                continue
+            ii, jj = ii[keep], jj[keep]
+        # cost(i-1, j-1) = |ref[i-1] - X[:, j-1]| (reference plays the row role,
+        # matching area_warp's dtw_dist(areats, series) argument order)
+        cst = np.abs(rd[ii - 1][None, :] - Xd[:, jj - 1])
+        prev = np.minimum(
+            np.minimum(D[:, ii - 1, jj], D[:, ii, jj - 1]), D[:, ii - 1, jj - 1]
+        )
+        D[:, ii, jj] = (cst + prev).astype(F32)
+    out = D[:, r, c] / np.float32(r + c)
+    # series shorter than the grid: recompute their distances on the true
+    # prefix (rare; the dense grid makes lengths equal per chunk)
+    short = np.nonzero(lens < n)[0]
+    for g in short:
+        L = int(lens[g])
+        out[g] = dtw_dist_batch(X[g : g + 1, :L], ref[:L], window)[0]
+    return out.astype(F32)
+
+
 def mads_batch(X: np.ndarray, gm: np.ndarray) -> dict[str, np.ndarray]:
     """Batched emad/smad/bcmad (geomad.pyx:200-350) over (G, p, n) with
     composites (G, p) → three (G,) float32 vectors."""

@@ -1,0 +1,218 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is expressed so the heavy lifting stays JVM-side or
+in Arrow-vectorized NumPy; no per-row Python:
+
+  * exact_dedup          — hash-groupBy on content digest (also in
+                           driver_queries with a SQL oracle)
+  * shingle_jaccard_pairs— word n-gram shingles → explode → self-equi-join on
+                           shingle → exact Jaccard ≥ τ (SQL-checkable)
+  * minhash_lsh_pairs    — k min-hash permutations as JVM aggregates over the
+                           exploded shingles, banded into LSH buckets; bucket
+                           equi-join yields candidates, estimated Jaccard =
+                           fraction of agreeing minhashes
+  * simhash_pairs        — 64-bit SimHash from JVM token hashes, 16-bit band
+                           blocking, Hamming ≤ d verify with bit_count(xor)
+
+Scale notes: every pair generator is an equi-join on a blocking key (shingle,
+LSH bucket, SimHash band) — never a cross join; hot shingles (stopword-only
+5-grams) are dropped by a document-frequency cap before the self-join, which
+is the standard guard against quadratic blowup on 10^12-scale corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: (a·h + b) stays < 2^62, safe under ANSI int64
+_MERSENNE = (1 << 31) - 1
+
+
+def tokens_col(text_col="text"):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles_col(n: int = 5, text_col="text"):
+    """Distinct word n-gram shingles as an array column (JVM-side).
+    NB Spark's sequence(1, 0) DESCENDS instead of being empty, so documents
+    shorter than n tokens need an explicit empty-array guard."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, n: int = 5, id_col="doc_id", text_col="text",
+                 max_doc_freq: int | None = None) -> DataFrame:
+    """(doc_id, shingle) long format; optionally drop shingles that occur in
+    more than max_doc_freq documents (hot-key guard for the self-join)."""
+    s = docs.select(id_col, F.explode(shingles_col(n, text_col)).alias("shingle"))
+    if max_doc_freq is not None:
+        hot = (
+            s.groupBy("shingle").count().filter(F.col("count") > max_doc_freq)
+            .select("shingle")
+        )
+        s = s.join(F.broadcast(hot), "shingle", "left_anti")
+    return s
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 5,
+    id_col="doc_id", text_col="text", max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via shingle equi-join."""
+    s = doc_shingles(docs, n, id_col, text_col, max_doc_freq)
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = s.select(F.col(id_col).alias("id_a"), "shingle")
+    b = s.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 32, n: int = 5, seed: int = 7,
+    id_col="doc_id", text_col="text",
+) -> DataFrame:
+    """k-permutation MinHash signature per document, entirely as JVM
+    aggregates: shingle → xxhash64 → k affine permutations mod a Mersenne
+    prime → min per permutation."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    s = doc_shingles(docs, n, id_col, text_col)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(h * F.lit(int(a[j])) + F.lit(int(b[j])), F.lit(_MERSENNE))).alias(f"mh_{j}")
+        for j in range(k)
+    ]
+    return s.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 32, bands: int = 8, threshold: float = 0.5,
+    n: int = 5, seed: int = 7, id_col="doc_id", text_col="text",
+) -> DataFrame:
+    """LSH candidate pairs: band the k minhashes into `bands` buckets,
+    equi-join on (band, bucket-hash), estimate Jaccard as the fraction of
+    agreeing minhashes, keep est ≥ threshold."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(docs, k, n, seed, id_col, text_col).cache()
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias(f"band_{band}")
+        for band in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    buckets = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(band).alias("band"), F.col(f"band_{band}").alias("sig"))
+                for band in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.sig")
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    siga = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(k)])
+    sigb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(k)])
+    agree = sum(
+        (F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0) for j in range(1, k)),
+        F.when(F.col("a_0") == F.col("b_0"), 1).otherwise(0),
+    )
+    return (
+        cands.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select("id_a", "id_b", F.round(agree / F.lit(k), 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """64-bit SimHash per document: token hashes come from JVM xxhash64; the
+    per-bit ±1 vote is a vectorized NumPy popcount in mapInPandas."""
+    hashed = docs.select(
+        id_col, F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("th")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, th in enumerate(pdf["th"]):
+                h = np.asarray(th, dtype=np.int64).view(np.uint64)
+                if h.size == 0:
+                    fps[i] = 0
+                    continue
+                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+                votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 vote sums)
+                fp = np.uint64(0)
+                for bit in np.nonzero(votes > 0)[0]:
+                    fp |= np.uint64(1) << np.uint64(bit)
+                fps[i] = fp.astype(np.int64) if hasattr(fp, "astype") else np.int64(fp)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps.view(np.int64)})
+
+    return hashed.mapInPandas(gen, f"{id_col} long, simhash long")
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: 4×16-bit band blocking (a pair within
+    Hamming ≤ 3 of 64 bits must agree exactly on ≥1 of 4 bands), verified
+    with bit_count(xor) ≤ max_hamming."""
+    fp = simhash_fingerprints(docs, id_col, text_col).cache()
+    bands = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.shiftrightunsigned("simhash", 16 * band)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                )
+                for band in range(4)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.key")
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels_np import mads_batch, nangeomedian_batch
+from ..kernels_np import dtw_dist_batch, mads_batch, nangeomedian_batch
 from ..schema import CHANNELS
 
 _CELL_BUDGET = 16_000_000  # f32 cells per padded tensor chunk (~64 MB)
@@ -121,3 +121,54 @@ def geomedian_mads_batched(
                 yield pd.DataFrame(out)
 
     return series_df.mapInPandas(gen, schema)
+
+
+def dtw_area_batched(
+    series_df: DataFrame,
+    value_col: str,
+    ref: np.ndarray,
+    window: int | None = None,
+    key_col: str = "conv_id",
+    l1_mode: bool = False,
+    cell_budget_bytes: int = 64_000_000,
+) -> DataFrame:
+    """DTW distance of every series to a broadcast reference curve, batched
+    by exact series length so the wavefront kernel runs padding-free.
+
+    ``l1_mode=True`` reproduces the reference's area_warp_similarity
+    literally — each series enters DTW as ONE n-dimensional point, collapsing
+    to L1/2 (ts.pyx:254); False runs the real (optionally Sakoe-Chiba banded)
+    DTW, the engine's extension."""
+    refd = np.asarray(ref, dtype=np.float64)
+    sc = series_df.sparkSession.sparkContext
+    bref = sc.broadcast(refd)
+    series_df = series_df.repartition(sc.defaultParallelism)
+
+    def gen(batches):
+        rv = bref.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[value_col].to_numpy()
+            lens = pdf["n"].to_numpy()
+            ids = pdf[key_col].to_numpy()
+            out_ids, out_d = [], []
+            for L in np.unique(lens):
+                idx = np.nonzero(lens == L)[0]
+                X = np.stack([np.asarray(vals[i][: int(L)], dtype=np.float64) for i in idx])
+                if l1_mode:
+                    d = (np.abs(rv[: int(L)][None, :] - X).sum(axis=1) / 2.0).astype(np.float32)
+                else:
+                    step = max(1, cell_budget_bytes // (4 * (int(L) + 1) ** 2))
+                    parts = [
+                        dtw_dist_batch(X[s : s + step], rv[: int(L)], window)
+                        for s in range(0, len(idx), step)
+                    ]
+                    d = np.concatenate(parts)
+                out_ids.append(ids[idx])
+                out_d.append(d)
+            yield pd.DataFrame(
+                {key_col: np.concatenate(out_ids), "dtw_dist": np.concatenate(out_d)}
+            )
+
+    return series_df.mapInPandas(gen, f"{key_col} string, dtw_dist float")

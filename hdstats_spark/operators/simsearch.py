@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns.
+
+  * knn_bruteforce — exact cosine top-k (broadcast queries + mapInPandas
+    GEMM); the correctness baseline (also in driver_queries with SQL oracle)
+  * lsh_signatures / knn_lsh — random-hyperplane LSH: L tables × k-bit
+    signatures, bucket equi-join for candidates, exact cosine re-rank of
+    candidates only.  The scale path: candidate generation is an equi-join on
+    (table, signature) — never a cross join — so a 10^9-vector corpus probes
+    O(L · bucket) candidates per query.
+
+Hyperplanes are seeded and broadcast; signatures are computed with one GEMM
+per Arrow batch (sign bits → packed int64), so the whole signature pass is
+BLAS + bit-twiddling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _planes(dim: int, k: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, dim, k))
+
+
+def lsh_signatures(
+    emb_df: DataFrame, dim: int, k: int = 16, tables: int = 8, seed: int = 11,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, sig) — one k-bit signature per hash table per vector."""
+    planes = _planes(dim, k, tables, seed)
+    b = emb_df.sparkSession.sparkContext.broadcast(planes)
+    shifts = np.arange(k, dtype=np.uint64)
+
+    def gen(batches):
+        P = b.value
+        for pdf in batches:
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_ids, out_tbl, out_sig = [], [], []
+            for t in range(P.shape[0]):
+                bits = (X @ P[t] > 0).astype(np.uint64)  # (n, k)
+                sig = (bits << shifts[None, :]).sum(axis=1).astype(np.int64)
+                out_ids.append(ids)
+                out_tbl.append(np.full(len(ids), t, dtype=np.int32))
+                out_sig.append(sig)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "table": np.concatenate(out_tbl),
+                    "sig": np.concatenate(out_sig),
+                }
+            )
+
+    return emb_df.select(id_col, emb_col).mapInPandas(
+        gen, f"{id_col} long, table int, sig long"
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame, queries: DataFrame, dim: int, topk: int = 5,
+    k: int = 16, tables: int = 8, seed: int = 11,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH bucket candidates → exact cosine re-rank.
+    Returns (query_id, neighbor_id, cos_sim, rnk)."""
+    cs = lsh_signatures(corpus, dim, k, tables, seed, id_col, emb_col)
+    qs = lsh_signatures(queries, dim, k, tables, seed, id_col, emb_col)
+    cands = (
+        qs.select(F.col(id_col).alias("query_id"), "table", "sig")
+        .join(cs.select(F.col(id_col).alias("neighbor_id"), "table", "sig"), ["table", "sig"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+    )
+    paired = cands.join(F.broadcast(qe), "query_id").join(ce, "neighbor_id")
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
+            C = np.stack(pdf["c_emb"].to_numpy()).astype(np.float64)
+            sim = (Q * C).sum(axis=1) / (
+                np.sqrt((Q * Q).sum(axis=1)) * np.sqrt((C * C).sum(axis=1))
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cos_sim": np.round(sim, 6),
+                }
+            )
+
+    sims = paired.mapInPandas(rerank, "query_id long, neighbor_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+    )

@@ -1,0 +1,99 @@
+"""Text analysis operators beyond the SQL-expressible ones in
+driver_queries: document fingerprinting by winnowing (Schleimer et al.,
+SIGMOD 2003).
+
+Character k-gram rolling hashes (polynomial mod a Mersenne prime) are
+computed vectorized per document inside mapInPandas — Horner's rule is k
+vectorized passes, window minima via a sliding-window argmin — then each
+document keeps the distinct set of selected hashes (its fingerprint sketch).
+Fingerprint overlap is a plagiarism/near-dup signal robust to reordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M31 = np.int64((1 << 31) - 1)
+_BASE = np.int64(257)
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling polynomial hashes of all character k-grams (vectorized)."""
+    c = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    if c.size < k:
+        return np.zeros(0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(c, k)  # (n-k+1, k)
+    h = np.zeros(win.shape[0], dtype=np.int64)
+    for j in range(k):  # Horner: k vectorized steps, mod each step
+        h = (h * _BASE + win[:, j]) % _M31
+    return h
+
+
+def winnow(text: str, k: int = 8, w: int = 4) -> np.ndarray:
+    """Distinct winnowed fingerprints: min hash of every w-window of k-gram
+    hashes (rightmost min, per the winnowing paper)."""
+    h = _kgram_hashes(text, k)
+    if h.size == 0:
+        return h
+    if h.size <= w:
+        return np.unique(h.min(keepdims=True))
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost minimum: argmin on the reversed window
+    rev_idx = w - 1 - np.argmin(wins[:, ::-1], axis=1)
+    picked = wins[np.arange(len(wins)), rev_idx]
+    return np.unique(picked)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """(doc_id, fingerprint) long format — join-ready for overlap scoring."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                f = winnow(text or "", k, w)
+                ids.append(np.full(f.size, did, dtype=np.int64))
+                fps.append(f)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {id_col: np.concatenate(ids), "fingerprint": np.concatenate(fps)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, fingerprint long")
+
+
+def fingerprint_overlap_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = 8, w: int = 4,
+    id_col="doc_id", text_col="text",
+) -> DataFrame:
+    """Document pairs whose winnowed fingerprint sets overlap ≥ threshold
+    (containment of the smaller set) — equi-join on fingerprint, no cross
+    join."""
+    fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    common = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("common") / F.least("sz_a", "sz_b"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

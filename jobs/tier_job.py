@@ -1,0 +1,60 @@
+"""Production-shaped tier job: spark-submit entry point.
+
+    spark-submit --master local[N] \
+        --py-files hdstats_spark.zip,hdstats_oracle.zip \
+        jobs/tier_job.py --input <transcripts parquet> --root <tier root> \
+        [--reroll-days 2024-01-03,2024-01-04] [--report out.json]
+
+Reads a transcript table, materializes the raw→1m→1h→1d retention tiers with
+checkpointed per-day commits (resume = rerun the same command), and prints a
+one-line JSON metrics report (rows per tier, rolled-up points/sec).
+On a cluster the same command takes --master yarn/k8s and executor confs —
+nothing in the job is local-mode specific.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--input-snapshot", default="adhoc")
+    ap.add_argument("--reroll-days", default="")
+    ap.add_argument("--report", default="")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("hdstats-tier-job")
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hdstats_spark.plans.pipeline import TierPipeline
+
+    t0 = time.time()
+    transcripts = spark.read.parquet(args.input)
+    pipe = TierPipeline(spark, args.root)
+    reroll = {d for d in args.reroll_days.split(",") if d}
+    metrics = pipe.run(transcripts, args.input_snapshot, reroll_days=reroll)
+    wall = time.time() - t0
+    metrics["wall_s"] = round(wall, 2)
+    metrics["points_per_sec"] = round(metrics["points"] / wall, 1) if wall else None
+    line = json.dumps(metrics)
+    print(line)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(line)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

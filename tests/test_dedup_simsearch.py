@@ -1,0 +1,97 @@
+"""Dedup + similarity-search operators: planted near-dups and recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """60 base docs + planted near-duplicates (1-2 word edits) + one exact dup."""
+    rng = np.random.default_rng(5)
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    rows = []
+    for i in range(60):
+        words = [vocab[x] for x in rng.integers(0, len(vocab), size=40)]
+        rows.append((i, " ".join(words)))
+    # near-dups of docs 0..9 with ids 100..109 (edit 2 words)
+    for i in range(10):
+        words = rows[i][1].split()
+        words[5] = "zулу" if False else "zulu"
+        words[20] = "yankee"
+        rows.append((100 + i, " ".join(words)))
+    rows.append((200, rows[3][1]))  # exact dup of doc 3
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_shingle_jaccard_finds_planted(spark, docs):
+    from hdstats_spark.operators.dedup import shingle_jaccard_pairs
+
+    pairs = shingle_jaccard_pairs(docs, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for i in range(10):
+        assert (i, 100 + i) in got, f"missing planted near-dup {i}"
+    assert (3, 200) in got  # exact dup has jaccard 1.0
+    assert pairs.set_index(["id_a", "id_b"]).loc[(3, 200), "jaccard"] == 1.0
+
+
+def test_minhash_lsh_recall(spark, docs):
+    from hdstats_spark.operators.dedup import minhash_lsh_pairs, shingle_jaccard_pairs
+
+    exact = shingle_jaccard_pairs(docs, threshold=0.6).toPandas()
+    truth = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    cand = minhash_lsh_pairs(docs, k=32, bands=8, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(cand.id_a, cand.id_b)}
+    recall = len(truth & got) / max(len(truth), 1)
+    assert recall >= 0.9, (recall, truth - got)
+    # estimated jaccard should track exact jaccard for the planted dups
+    est = cand.set_index(["id_a", "id_b"]).est_jaccard
+    for i in range(3):
+        if (i, 100 + i) in est.index:
+            assert est.loc[(i, 100 + i)] > 0.5
+
+
+def test_simhash_pairs(spark, docs):
+    from hdstats_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs, max_hamming=3).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (3, 200) in got  # identical text → hamming 0
+    ham = pairs.set_index(["id_a", "id_b"]).hamming
+    assert ham.loc[(3, 200)] == 0
+
+
+def test_knn_lsh_recall(spark):
+    from hdstats_spark.driver_queries import q_knn_cosine
+    from hdstats_spark.operators.simsearch import knn_lsh
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    exact = q_knn_cosine(spark, sf, k=5, n_queries=5).toPandas()
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    # random 64-dim embeddings are LSH-hostile (neighbor angles ≈ uniform):
+    # short signatures + many tables trade candidate volume for recall
+    approx = knn_lsh(corpus, queries, dim, topk=5, k=4, tables=32).toPandas()
+    truth = {(q, n) for q, n in zip(exact.query_id, exact.neighbor_id)}
+    got = {(q, n) for q, n in zip(approx.query_id, approx.neighbor_id)}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, recall
+
+
+def test_multimodal_features_and_frames(spark):
+    from hdstats_spark.operators.multimodal import extract_features, gen_assets, sample_frames
+
+    assets = gen_assets(spark, n=30)
+    feats = extract_features(assets, dim=16).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats.features)
+    # deterministic: same seed → same features
+    feats2 = extract_features(gen_assets(spark, n=30), dim=16).toPandas()
+    a = np.stack(feats.sort_values("asset_id").features.to_numpy())
+    b = np.stack(feats2.sort_values("asset_id").features.to_numpy())
+    np.testing.assert_array_equal(a, b)
+    frames = sample_frames(assets).toPandas()
+    assert (frames.frame_idx % 4 == 0).all()
+    assert all(len(f) == 64 for f in frames.frame)

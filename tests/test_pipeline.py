@@ -1,0 +1,92 @@
+"""icelite snapshots, codec round-trip through Spark, pipeline resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hdstats_spark.compression.tiercodec import compress_tier, decompress_tier
+from hdstats_spark.icelite import IceliteTable
+from hdstats_spark.operators.channels import channelize
+from hdstats_spark.operators.rollup import rollup_raw
+from hdstats_spark.operators.series import series_table
+from hdstats_spark.plans.pipeline import TierPipeline
+from hdstats_spark.schema import CHANNELS
+
+
+def test_icelite_append_overwrite_timetravel(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "day"])
+    s1 = t.append(df1, "day", lineage={"src": "x"})
+    df2 = spark.createDataFrame([(3, "b"), (4, "c")], ["id", "day"])
+    s2 = t.append(df2, "day")
+    assert t.rows() == 4
+    assert t.read(spark).count() == 4
+    # partition pruning at the manifest level
+    assert t.read(spark, partitions=["b"]).count() == 2
+    # overwrite partition b
+    df3 = spark.createDataFrame([(9, "b")], ["id", "day"])
+    t.overwrite_partitions(df3, "day")
+    assert t.read(spark).count() == 3  # a:1, b:1(new), c:1
+    # time travel to s2
+    assert t.read(spark, snapshot_id=s2.snapshot_id).count() == 4
+    assert t.snapshot(s1.snapshot_id).lineage == {"src": "x"}
+    assert len(t.snapshots()) == 3
+
+
+def test_codec_roundtrip_spark(spark, transcripts):
+    tier = rollup_raw(channelize(transcripts), "1m")
+    st = series_table(tier, CHANNELS)
+    blocks = compress_tier(st, CHANNELS)
+    back = decompress_tier(blocks, CHANNELS)
+    a = tier.orderBy("conv_id", "bucket").toPandas()
+    b = back.orderBy("conv_id", "bucket").toPandas()
+    assert len(a) == len(b)
+    assert (a.conv_id.values == b.conv_id.values).all()
+    assert (a.bucket.values == b.bucket.values).all()
+    for c in CHANNELS:
+        np.testing.assert_array_equal(a[c].to_numpy(np.float64), b[c].to_numpy(np.float64))
+    # compression must actually compress the timestamp axis
+    sizes = blocks.selectExpr(
+        "sum(octet_length(ts_blob)) ts", "sum(n) n"
+    ).collect()[0]
+    assert sizes["ts"] < sizes["n"] * 8 * 0.5  # ≥2× on the ts column
+
+
+def test_pipeline_resume(spark, transcripts, tmp_path):
+    root = str(tmp_path / "tiers")
+    pipe = TierPipeline(spark, root)
+    # first run sees only the first half of the days
+    from pyspark.sql import functions as F
+
+    days = sorted(
+        r[0]
+        for r in transcripts.select(F.date_format("ts", "yyyy-MM-dd")).distinct().collect()
+    )
+    half = days[: len(days) // 2]
+    m1 = pipe.run(transcripts.filter(F.date_format("ts", "yyyy-MM-dd").isin(half)), "snap1")
+    assert m1["1m"]["days"] == len(half)
+
+    # second run with everything: only the missing days are processed
+    m2 = pipe.run(transcripts, "snap2")
+    assert m2["1m"]["days"] == len(days) - len(half)
+
+    # third run: nothing to do (fully resumed)
+    m3 = pipe.run(transcripts, "snap3")
+    assert m3["1m"]["days"] == m3["1h"]["days"] == m3["1d"]["days"] == 0
+
+    # the resumed table equals a from-scratch single run
+    pipe2 = TierPipeline(spark, str(tmp_path / "tiers2"))
+    pipe2.run(transcripts, "snapA")
+    for tier in ("1m", "1h", "1d"):
+        a = (
+            pipe.tables[tier].read(spark).drop("day").orderBy("conv_id", "bucket").toPandas()
+        )
+        b = (
+            pipe2.tables[tier].read(spark).drop("day").orderBy("conv_id", "bucket").toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+    # lineage carries checkpoint metadata; per-partition rows live in the
+    # snapshot manifest
+    snap = pipe.tables["1m"].snapshot()
+    assert set(snap.lineage) >= {"input_snapshot", "parent_snapshot", "partitions"}
+    assert all(m["rows"] > 0 for m in snap.partitions.values())

@@ -1,0 +1,44 @@
+"""Streaming 1m tier: streamed buckets ≡ batch rollup for on-time data;
+late-beyond-watermark turns are dropped from the append stream."""
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hdstats_spark.operators.channels import channelize
+from hdstats_spark.operators.rollup import rollup_raw
+from hdstats_spark.schema import CHANNELS
+from hdstats_spark.streaming.stream import run_stream_to_memory
+
+
+def test_streaming_equals_batch(spark, transcripts, tmp_path):
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    # arrange arrivals in event-time order (files = micro-batches)
+    ordered = transcripts.orderBy("ts")
+    ordered.coalesce(4).write.mode("overwrite").parquet(src)
+
+    q = run_stream_to_memory(spark, src, ckpt, name="t1m_stream", watermark="0 seconds")
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = spark.table("t1m_stream").toPandas()
+    expect = rollup_raw(channelize(transcripts), "1m").toPandas()
+    # append mode only emits windows whose watermark has passed; with
+    # watermark 0s everything before the max event time is final
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    expect = expect[expect.bucket + pd.Timedelta(minutes=1) <= max_ts]
+    got = got[got.bucket + pd.Timedelta(minutes=1) <= max_ts]
+
+    a = got.sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    b = expect.sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    b = b[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
