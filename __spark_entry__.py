@@ -20,7 +20,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# kernel UDF closures import hdstats_oracle/hdstats_spark on the WORKERS:
+# exporting PYTHONPATH here (import time, normally before the JVM launches)
+# makes the packages importable in worker processes whatever session the
+# caller builds; cluster deployments ship them via spark-submit --py-files
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -26,6 +26,7 @@ HEADLINE = [
     "gapfill_completion",
     "change_features",
     "complexity",
+    "wiener_smooth",
     "mad_vs_centroid",
     "sessionize",
     "pricing_summary",
@@ -35,6 +36,19 @@ HEADLINE = [
     "lang_id",
     "knn_cosine",
     "embedding_dups",
+    "geomedian_mads",
+    "fourier_features",
+    "discordance",
+    "dtw_area",
+    "area_warp",
+    # ngram_jaccard is a correctness query (sf0.01); at sf0.1 the synthetic
+    # 30-word vocabulary makes every bigram hot → the exact self-join is
+    # inherently quadratic there (minhash_lsh is the scale path)
+    "minhash_lsh",
+    "simhash_dups",
+    "knn_lsh",
+    "winnow_overlap",
+    "compression_roundtrip",
 ]
 
 
@@ -43,25 +57,11 @@ def run_query(df) -> None:
 
 
 def flagship_geomedian(spark, sf_dir):
-    """The nangeomedian_pcm + MAD continuous aggregate over the events table:
-    tier rollup → dense gap-fill → series table → batched Weiszfeld + MADs."""
-    from pyspark.sql import functions as F
+    """The nangeomedian_pcm + MAD continuous aggregate (kept as a named
+    helper; benched via the geomedian_mads HEADLINE entry)."""
+    from hdstats_spark.driver_queries import q_geomedian_mads
 
-    from hdstats_spark.driver_queries import _event_buckets
-    from hdstats_spark.operators.gapfill import completion, densify
-    from hdstats_spark.operators.series import geomedian_mads_batched, series_table
-
-    channels = [
-        "cnt_click", "cnt_view", "cnt_purchase", "cnt_signup", "cnt_error",
-        "v_sum", "v_max", "n_events",
-    ]
-    tier = (
-        _event_buckets(spark, sf_dir, "hour")
-        .withColumn("conv_id", F.col("user_id").cast("string"))
-        .drop("user_id")
-    )
-    dense = completion(densify(tier, "1h", channels), channels)
-    return geomedian_mads_batched(series_table(dense, channels), channels)
+    return q_geomedian_mads(spark, sf_dir)
 
 
 def main():
@@ -82,12 +82,8 @@ def main():
         run_query(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # flagship kernel aggregate + rolled-up points/sec (the BASELINE metric:
-    # tier rows produced per second per executor across raw→1m→1h→1d)
-    t0 = time.perf_counter()
-    run_query(flagship_geomedian(spark, sf_dir))
-    timings["geomedian_pipeline"] = round(time.perf_counter() - t0, 3)
-
+    # rolled-up points/sec (the BASELINE metric: tier rows produced per
+    # second across raw→1m→1h→1d)
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

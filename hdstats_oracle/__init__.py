@@ -37,6 +37,7 @@ from .ts import (
     area_warp_similarity,
 )
 from .dtw import dtw, local_dtw, dtw_dist, optimalpath
+from .peaks import find_peaks_cwt, number_peaks
 
 __all__ = [
     "geomedian",
@@ -65,4 +66,6 @@ __all__ = [
     "local_dtw",
     "dtw_dist",
     "optimalpath",
+    "find_peaks_cwt",
+    "number_peaks",
 ]

@@ -274,6 +274,38 @@ FROM d GROUP BY user_id
 """
 
 
+def q_wiener_smooth(spark, sf_dir, k=3):
+    """Reference Wiener smoothing (tsslow.py:29-30) over each user's hourly
+    mean series — fully SQL-expressible, so DuckDB-checked."""
+    from .operators.smooth import wiener_smooth
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.avg("value").alias("v"))
+    )
+    out = wiener_smooth(hourly, "v", k=k, key_col="user_id")
+    return out.select("user_id", "bucket", _r6("v_smooth").alias("v_smooth"))
+
+
+SQL_WIENER_SMOOTH = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, bucket, v,
+         sum(v) OVER w / 3.0 AS lm,
+         sum(v * v) OVER w / 3.0 - (sum(v) OVER w / 3.0) * (sum(v) OVER w / 3.0) AS lv
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+), n AS (SELECT avg(lv) AS noise FROM s)
+SELECT user_id, bucket,
+       round(CASE WHEN lv < noise THEN lm
+                  ELSE (v - lm) * (1 - noise / nullif(lv, 0)) + lm END, 6) AS v_smooth
+FROM s CROSS JOIN n
+"""
+
+
 # ---------------------------------------------------------------- MAD trio vs centroid
 
 def q_mad_vs_centroid(spark, sf_dir):
@@ -771,6 +803,16 @@ def q_dtw_area(spark, sf_dir):
     return dtw_area_batched(st, "n_events", ref, window=8)
 
 
+def q_number_peaks(spark, sf_dir):
+    """CWT peak count of each user's hourly event-rate series
+    (ts.pyx:222-228, scipy-free ridge-line re-derivation)."""
+    from .operators.series import number_peaks_agg, series_table
+
+    dense, _ = _dense_event_series(spark, sf_dir)
+    st = series_table(dense, ["n_events"])
+    return number_peaks_agg(st, "n_events", n=10)
+
+
 def q_area_warp(spark, sf_dir):
     """Reference area_warp_similarity semantics exactly (ts.pyx:246-256):
     series and area-median enter DTW as single n-dim points → L1/2."""
@@ -848,11 +890,13 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def q_winnow_overlap(spark, sf_dir):
-    """Winnowing fingerprint containment pairs (Schleimer et al. 2003)."""
+    """Winnowing fingerprint containment pairs (Schleimer et al. 2003);
+    ubiquitous fingerprints (>50 docs — this synthetic corpus reuses a tiny
+    vocabulary) are dropped before the self-join."""
     from .operators.textstats import fingerprint_overlap_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return fingerprint_overlap_pairs(d, threshold=0.3)
+    return fingerprint_overlap_pairs(d, threshold=0.3, max_doc_freq=50)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -890,6 +934,7 @@ def queries():
         "gapfill_completion": q_gapfill_completion,
         "change_features": q_change_features,
         "complexity": q_complexity,
+        "wiener_smooth": q_wiener_smooth,
         "mad_vs_centroid": q_mad_vs_centroid,
         "sessionize": q_sessionize,
         "topk_users": q_topk_users,
@@ -909,6 +954,7 @@ def queries():
         "discordance": q_discordance,
         "dtw_area": q_dtw_area,
         "area_warp": q_area_warp,
+        "number_peaks": q_number_peaks,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -929,6 +975,7 @@ def oracles():
         "gapfill_completion": SQL_GAPFILL_COMPLETION,
         "change_features": SQL_CHANGE_FEATURES,
         "complexity": SQL_COMPLEXITY,
+        "wiener_smooth": SQL_WIENER_SMOOTH,
         "mad_vs_centroid": _sql_mad_vs_centroid(),
         "sessionize": SQL_SESSIONIZE,
         "topk_users": SQL_TOPK_USERS,

@@ -92,7 +92,7 @@ class IceliteTable:
     # ------------------------------------------------------------- write
 
     def _write_partition_files(
-        self, df: DataFrame, partition_col: str | None
+        self, df: DataFrame, partition_col: str | None, cluster: str = "roundrobin"
     ) -> dict:
         """Write data files for this commit into a unique subdir and return
         the partition manifest {value: {files, rows}}."""
@@ -100,40 +100,60 @@ class IceliteTable:
         if partition_col is None:
             df.write.mode("overwrite").parquet(commit_dir)
             files = [
-                os.path.join(commit_dir, name)
+                os.path.relpath(os.path.join(commit_dir, name), self.root)
                 for name in os.listdir(commit_dir)
                 if name.endswith(".parquet")
             ]
             rows = df.sparkSession.read.parquet(commit_dir).count()
             return {"__all__": {"files": files, "rows": rows}}
-        # cluster by the partition column so each partition value is written
-        # by exactly one task (one file per partition instead of
-        # tasks×partitions tiny files); at 100 TB scale add a salt as a
-        # second clustering key so one day spans many writers
+        # write clustering tradeoff:
+        #   roundrobin — every core writes concurrently regardless of how few
+        #     partition values exist (day-clustering caps writers at #days and
+        #     hash collisions cut that further); cost: tasks×partitions files.
+        #     Right for BIG commits (raw, 1m).
+        #   bypart — one file per partition value; right for SMALL commits
+        #     (1h/1d) whose readers would otherwise face a tiny-file storm.
         parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if cluster == "bypart":
+            df = df.repartition(parallelism, partition_col)
+        else:
+            df = df.repartition(parallelism)
         (
-            df.repartition(parallelism, partition_col)
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(commit_dir)
         )
-        # one job for every partition's row count (reading back the files we
-        # just wrote, so the manifest reflects what is actually on disk)
-        spark = df.sparkSession
-        counts = {
-            str(r[partition_col]): r["count"]
-            for r in spark.read.parquet(commit_dir).groupBy(partition_col).count().collect()
-        }
-        manifest = {}
+        # per-partition row counts from the parquet FOOTERS just written —
+        # metadata-only reads, no extra Spark job, and the manifest still
+        # reflects exactly what landed on disk; footer reads are I/O-bound,
+        # so a thread pool keeps the driver-side commit under a second even
+        # for ~1000 files
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        part_files: dict[str, list[str]] = {}
         for entry in os.listdir(commit_dir):
             if "=" not in entry:
                 continue
             value = entry.split("=", 1)[1]
             pdir = os.path.join(commit_dir, entry)
-            files = [
+            part_files[value] = [
                 os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
             ]
-            manifest[value] = {"files": files, "rows": int(counts.get(value, 0))}
+        all_files = [f for fs in part_files.values() for f in fs]
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            counts = dict(
+                zip(all_files, ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, all_files))
+            )
+        manifest = {}
+        for value, fs in part_files.items():
+            manifest[value] = {
+                # manifest paths are TABLE-ROOT-RELATIVE so a table directory
+                # can be relocated wholesale
+                "files": [os.path.relpath(f, self.root) for f in fs],
+                "rows": int(sum(counts[f] for f in fs)),
+            }
         return manifest
 
     def append(
@@ -161,11 +181,15 @@ class IceliteTable:
         )
 
     def overwrite_partitions(
-        self, df: DataFrame, partition_col: str, lineage: dict | None = None
+        self,
+        df: DataFrame,
+        partition_col: str,
+        lineage: dict | None = None,
+        cluster: str = "roundrobin",
     ) -> Snapshot:
         """Idempotent re-roll: replace exactly the partitions present in df
         (late-data handling — SURVEY.md §2 streaming notes)."""
-        new = self._write_partition_files(df, partition_col)
+        new = self._write_partition_files(df, partition_col, cluster)
         prev = self.snapshot()
         parts = dict(prev.partitions) if prev else {}
         parts.update(new)  # replaced partitions point at the new files only
@@ -196,7 +220,10 @@ class IceliteTable:
         files = []
         for value, m in snap.partitions.items():
             if partitions is None or value in partitions:
-                files.extend(m["files"])
+                files.extend(
+                    f if os.path.isabs(f) else os.path.join(self.root, f)
+                    for f in m["files"]
+                )
         if not files:
             raise ValueError("no files match the partition filter")
         return spark.read.parquet(*files)

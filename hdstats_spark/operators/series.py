@@ -123,6 +123,34 @@ def geomedian_mads_batched(
     return series_df.mapInPandas(gen, schema)
 
 
+def number_peaks_agg(
+    series_df: DataFrame,
+    value_col: str,
+    n: int = 10,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """CWT ridge-line peak count per series (ts.pyx:222-228); the ridge
+    linkage is inherently sequential per series, so this is a per-series
+    NumPy call inside mapInPandas spread round-robin across cores."""
+    sc = series_df.sparkSession.sparkContext
+    series_df = series_df.repartition(sc.defaultParallelism)
+
+    def gen(batches):
+        from hdstats_oracle.peaks import find_peaks_cwt
+
+        widths = np.arange(1, n + 1)
+        for pdf in batches:
+            counts = [
+                len(find_peaks_cwt(np.asarray(v[: int(ln)], dtype=np.float64), widths))
+                for v, ln in zip(pdf[value_col], pdf["n"])
+            ]
+            yield pd.DataFrame(
+                {key_col: pdf[key_col], "n_peaks": np.asarray(counts, dtype=np.int32)}
+            )
+
+    return series_df.mapInPandas(gen, f"{key_col} string, n_peaks int")
+
+
 def dtw_area_batched(
     series_df: DataFrame,
     value_col: str,

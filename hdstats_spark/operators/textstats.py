@@ -70,12 +70,20 @@ def winnow_fingerprints(
 
 def fingerprint_overlap_pairs(
     docs: DataFrame, threshold: float = 0.5, k: int = 8, w: int = 4,
-    id_col="doc_id", text_col="text",
+    id_col="doc_id", text_col="text", max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Document pairs whose winnowed fingerprint sets overlap ≥ threshold
     (containment of the smaller set) — equi-join on fingerprint, no cross
-    join."""
+    join.  ``max_doc_freq`` drops fingerprints present in more than that many
+    documents (standard winnowing practice: ubiquitous fragments carry no
+    signal and would blow the self-join up quadratically)."""
     fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    if max_doc_freq is not None:
+        hot = (
+            fp.groupBy("fingerprint").count().filter(F.col("count") > max_doc_freq)
+            .select("fingerprint")
+        )
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")

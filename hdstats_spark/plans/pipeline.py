@@ -32,50 +32,71 @@ def _day(col):
 
 
 class TierPipeline:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, raw_root: str | None = None):
         self.spark = spark
         self.root = root
         self.tables = {
             name: IceliteTable(os.path.join(root, f"tier_{name}"))
             for name in ("raw", "1m", "1h", "1d")
         }
+        if raw_root:  # share an already-ingested raw tier across runs
+            self.tables["raw"] = IceliteTable(raw_root)
 
     def _missing_days(self, table: IceliteTable, days: set[str], reroll: set[str]) -> set[str]:
         return (days - table.committed_partitions()) | (days & reroll)
 
     def run(
         self,
-        transcripts: DataFrame,
+        transcripts: DataFrame | None = None,
         input_snapshot: str = "adhoc",
         reroll_days: set[str] | None = None,
+        phase: str = "all",
     ) -> dict:
         """Process all uncommitted (or re-rolled) day partitions through every
         tier.  Returns per-tier metrics (also recorded in each commit's
-        lineage)."""
+        lineage).
+
+        phase: "ingest" materializes only the raw tier (tokenize-heavy I/O),
+        "rollup" rolls an existing raw tier into 1m/1h/1d (the north-metric
+        phase), "all" does both."""
         reroll = set(reroll_days or ())
         t0 = time.time()
-        ch = channelize(transcripts).withColumn("day", _day("ts"))
-        days = {r["day"] for r in ch.select("day").distinct().collect()}
+        if transcripts is not None:
+            ch = channelize(transcripts).withColumn("day", _day("ts"))
+            days = {r["day"] for r in ch.select("day").distinct().collect()}
+        else:
+            assert phase == "rollup", "rollup-only runs may omit transcripts"
+            days = self.tables["raw"].committed_partitions()
         metrics: dict = {"days_seen": len(days)}
 
-        # raw tier: channelized turns, partitioned by day
+        # raw tier: channelized turns (no text — the source table keeps it),
+        # partitioned by day
         raw_tbl = self.tables["raw"]
-        todo = self._missing_days(raw_tbl, days, reroll)
-        if todo:
-            part = ch.filter(F.col("day").isin(sorted(todo)))
-            snap = raw_tbl.overwrite_partitions(
-                part,
-                "day",
-                lineage={
-                    "input_snapshot": input_snapshot,
-                    "partitions": sorted(todo),
-                    "elapsed_s": round(time.time() - t0, 2),
-                },
-            )
-            rows = sum(snap.partitions[d]["rows"] for d in todo)
-            metrics["raw"] = {"days": len(todo), "rows": rows}
+        if phase in ("all", "ingest"):
+            todo = self._missing_days(raw_tbl, days, reroll)
+            if todo:
+                part = ch.filter(F.col("day").isin(sorted(todo)))
+                snap = raw_tbl.overwrite_partitions(
+                    part,
+                    "day",
+                    lineage={
+                        "input_snapshot": input_snapshot,
+                        "partitions": sorted(todo),
+                        "elapsed_s": round(time.time() - t0, 2),
+                    },
+                )
+                rows = sum(snap.partitions[d]["rows"] for d in todo)
+                metrics["raw"] = {"days": len(todo), "rows": rows}
+        if phase == "ingest":
+            metrics["elapsed_s"] = round(time.time() - t0, 2)
+            return metrics
 
-        # 1m from raw, then cascade 1h from 1m, 1d from 1h
+        # 1m from raw, then cascade 1h from 1m, 1d from 1h.  Within one run
+        # the cascade consumes the persisted in-memory parent (the committed
+        # data is identical, and re-reading the freshly written files would
+        # pay a tiny-file storm); resume paths fall back to the table.
+        computed: dict[str, DataFrame] = {}
+        computed_days: dict[str, set] = {}
         for tier in ("1m", "1h", "1d"):
             tt0 = time.time()
             tbl = self.tables[tier]
@@ -85,12 +106,16 @@ class TierPipeline:
                 continue
             parent = TIER_PARENT[tier]
             src_tbl = self.tables[parent]
-            src = src_tbl.read(self.spark, partitions=sorted(todo))
+            if parent in computed and todo <= computed_days[parent]:
+                src = computed[parent]
+            else:
+                src = src_tbl.read(self.spark, partitions=sorted(todo))
             if tier == "1m":
                 out = rollup_raw(src, "1m")
             else:
                 out = rollup_cascade(src.drop("day"), tier)
-            out = out.withColumn("day", _day("bucket"))
+            out = out.withColumn("day", _day("bucket")).persist()
+            # big tier (1m) → parallel writers; small cascades → one file/day
             snap = tbl.overwrite_partitions(
                 out,
                 "day",
@@ -98,11 +123,19 @@ class TierPipeline:
                     "input_snapshot": input_snapshot,
                     "parent_snapshot": src_tbl.current_snapshot_id(),
                     "partitions": sorted(todo),
-                    "elapsed_s": round(time.time() - tt0, 2),
                 },
+                cluster="roundrobin" if tier == "1m" else "bypart",
             )
+            computed[tier] = out
+            computed_days[tier] = set(todo)
             rows = sum(snap.partitions[d]["rows"] for d in todo if d in snap.partitions)
-            metrics[tier] = {"days": len(todo), "rows": rows}
+            metrics[tier] = {
+                "days": len(todo),
+                "rows": rows,
+                "elapsed_s": round(time.time() - tt0, 2),
+            }
+        for df in computed.values():
+            df.unpersist()
 
         metrics["elapsed_s"] = round(time.time() - t0, 2)
         metrics["points"] = sum(

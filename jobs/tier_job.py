@@ -22,8 +22,10 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", default="")
     ap.add_argument("--root", required=True)
+    ap.add_argument("--raw-root", default="", help="reuse an ingested raw tier")
+    ap.add_argument("--phase", default="all", choices=["all", "ingest", "rollup"])
     ap.add_argument("--input-snapshot", default="adhoc")
     ap.add_argument("--reroll-days", default="")
     ap.add_argument("--report", default="")
@@ -41,13 +43,16 @@ def main():
     from hdstats_spark.plans.pipeline import TierPipeline
 
     t0 = time.time()
-    transcripts = spark.read.parquet(args.input)
-    pipe = TierPipeline(spark, args.root)
+    transcripts = spark.read.parquet(args.input) if args.input else None
+    pipe = TierPipeline(spark, args.root, raw_root=args.raw_root or None)
     reroll = {d for d in args.reroll_days.split(",") if d}
-    metrics = pipe.run(transcripts, args.input_snapshot, reroll_days=reroll)
+    metrics = pipe.run(
+        transcripts, args.input_snapshot, reroll_days=reroll, phase=args.phase
+    )
     wall = time.time() - t0
     metrics["wall_s"] = round(wall, 2)
-    metrics["points_per_sec"] = round(metrics["points"] / wall, 1) if wall else None
+    pts = metrics.get("points", 0)
+    metrics["points_per_sec"] = round(pts / wall, 1) if wall and pts else None
     line = json.dumps(metrics)
     print(line)
     if args.report:

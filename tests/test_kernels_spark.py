@@ -146,6 +146,32 @@ def test_fourier_matches_oracle(dense):
         )
 
 
+def test_wiener_smooth_matches_oracle(spark, dense):
+    """Spark window-function Wiener ≡ reference smooth per series.
+    The reference pools noise over the whole stacked array; restrict to
+    equal-length series so the oracle can stack them identically."""
+    from hdstats_spark.operators.smooth import wiener_smooth
+
+    pdf = dense.toPandas()
+    lens = pdf.groupby("conv_id").size()
+    keep = lens[lens == lens.mode()[0]].index
+    sub = dense.filter(dense.conv_id.isin(list(keep)))
+    got = (
+        wiener_smooth(sub, "turn_rate", k=3)
+        .orderBy("conv_id", "bucket")
+        .toPandas()
+    )
+    sp = pdf[pdf.conv_id.isin(keep)]
+    mats = _series_matrices(sp, ["turn_rate"])
+    cids = sorted(mats)
+    stack = np.stack([mats[c][0] for c in cids])[:, None, :].astype(np.float64)
+    expect = hdo.smooth(stack, 3)[:, 0, :]
+    got_m = got.pivot(index="conv_id", columns="bucket", values="turn_rate_smooth")
+    for i, cid in enumerate(cids):
+        g = got_m.loc[cid].dropna().to_numpy()
+        npt.assert_allclose(g, expect[i], rtol=1e-4, atol=1e-4)
+
+
 def test_symmetry_zero_for_constant(spark):
     rows = [
         ("a", i, 2.0, 4.0, 6.0, 8.0, 1.0, 1.0, 1.0, 1.0) for i in range(6)
