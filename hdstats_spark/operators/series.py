@@ -69,14 +69,20 @@ def _chunks_by_cells(lens: np.ndarray, p: int, budget: int = _CELL_BUDGET):
 
 
 def _stack_chunk(pdf: pd.DataFrame, idx: np.ndarray, channels) -> tuple[np.ndarray, np.ndarray]:
-    lens = pdf["n"].to_numpy()[idx]
+    """Ragged series → padded (G, p, nmax) tensor via one concat + one
+    fancy-index scatter per channel (no per-row/element Python — millions of
+    tiny series per batch are the common case for the composite tier)."""
+    lens = pdf["n"].to_numpy()[idx].astype(np.int64)
+    G = len(idx)
     nmax = int(lens.max())
-    X = np.full((len(idx), len(channels), nmax), np.nan, dtype=np.float32)
-    cols = [pdf[c].to_numpy() for c in channels]
-    for gi, row in enumerate(idx):
-        ln = lens[gi]
-        for j, col in enumerate(cols):
-            X[gi, j, :ln] = col[row][:ln]
+    starts = np.cumsum(lens) - lens
+    row_idx = np.repeat(np.arange(G), lens)
+    pos_idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+    X = np.full((G, len(channels), nmax), np.nan, dtype=np.float32)
+    for j, c in enumerate(channels):
+        col = pdf[c].to_numpy()[idx]
+        flat = np.concatenate([np.asarray(v, dtype=np.float32) for v in col])
+        X[:, j, :][row_idx, pos_idx] = flat
     return X, lens
 
 
@@ -89,8 +95,14 @@ def geomedian_mads_batched(
     key_col: str = "conv_id",
 ) -> DataFrame:
     """Geometric-median composite (+ optional MAD trio) for every series in
-    one mapInPandas pass — the engine's flagship continuous aggregate
-    (nangeomedian_pcm + emad/smad/bcmad fused: SURVEY.md §3.1-3.2)."""
+    one mapInArrow pass — the engine's flagship continuous aggregate
+    (nangeomedian_pcm + emad/smad/bcmad fused: SURVEY.md §3.1-3.2).
+
+    mapInArrow, not mapInPandas: each channel arrives as an Arrow ListArray
+    whose flat values buffer is borrowed zero-copy into NumPy and scattered
+    into the padded (G, p, n) tensor with one fancy-index per channel — the
+    pandas path materialized 4M+ per-row ndarray objects and cost ~4× the
+    kernel itself on many-tiny-series workloads (the composite tier)."""
     chans = list(channels)
     fields = [f"{key_col} string", "n int"] + [f"gm_{c} float" for c in chans]
     if with_mads:
@@ -106,21 +118,47 @@ def geomedian_mads_batched(
     series_df = series_df.repartition(sc.defaultParallelism)
 
     def gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            all_lens = pdf["n"].to_numpy()
-            for idx in _chunks_by_cells(all_lens, len(chans)):
-                X, lens = _stack_chunk(pdf, idx, chans)
-                gm = nangeomedian_batch(X, eps, maxiters, lengths=lens)
-                out = {key_col: pdf[key_col].to_numpy()[idx], "n": lens.astype("int32")}
-                for j, c in enumerate(chans):
-                    out[f"gm_{c}"] = gm[:, j]
-                if with_mads:
-                    out.update(mads_batch(X, gm))
-                yield pd.DataFrame(out)
+        import pyarrow as pa
 
-    return series_df.mapInPandas(gen, schema)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            keys = rb.column(names.index(key_col))
+            lens_all = rb.column(names.index("n")).to_numpy().astype(np.int64)
+            flats, bases = {}, {}
+            for c in chans:
+                col = rb.column(names.index(c))
+                # flatten() honours any slice offset; row starts are the
+                # offsets rebased to the slice
+                offs = col.offsets.to_numpy().astype(np.int64)
+                flats[c] = col.flatten().to_numpy(zero_copy_only=False)
+                bases[c] = offs[:-1] - offs[0]
+            for idx in _chunks_by_cells(lens_all, len(chans)):
+                lens = lens_all[idx]
+                G = len(idx)
+                nmax = int(lens.max())
+                total = int(lens.sum())
+                starts_pad = np.cumsum(lens) - lens
+                row_idx = np.repeat(np.arange(G), lens)
+                pos_idx = np.arange(total, dtype=np.int64) - np.repeat(starts_pad, lens)
+                X = np.full((G, len(chans), nmax), np.nan, dtype=np.float32)
+                for j, c in enumerate(chans):
+                    src = np.repeat(bases[c][idx], lens) + pos_idx
+                    X[:, j, :][row_idx, pos_idx] = flats[c][src]
+                gm = nangeomedian_batch(X, eps, maxiters, lengths=lens)
+                out = {
+                    key_col: keys.take(pa.array(idx)),
+                    "n": pa.array(lens.astype(np.int32)),
+                }
+                for j, c in enumerate(chans):
+                    out[f"gm_{c}"] = pa.array(gm[:, j])
+                if with_mads:
+                    for k, v in mads_batch(X, gm).items():
+                        out[k] = pa.array(v)
+                yield pa.RecordBatch.from_pydict(out)
+
+    return series_df.mapInArrow(gen, schema)
 
 
 def number_peaks_agg(
@@ -149,6 +187,118 @@ def number_peaks_agg(
             )
 
     return series_df.mapInPandas(gen, f"{key_col} string, n_peaks int")
+
+
+def geomedian_mads_flat(
+    tier_df: DataFrame,
+    channels: Sequence[str] = CHANNELS,
+    eps: float = 1e-7,
+    maxiters: int = 1000,
+    with_mads: bool = True,
+    key_col: str = "conv_id",
+    order_col: str = "bucket",
+) -> DataFrame:
+    """Flagship composite over FLAT tier rows — the many-tiny-series fast
+    path (composite tier at 10^6-10^9 conversations).
+
+    ``series_table`` (collect_list of structs) costs ~20 JVM core-seconds per
+    million rows in object churn; this variant instead hash-partitions by the
+    series key, sorts within partitions (Tungsten binary sort), and streams
+    flat Arrow batches into Python.  Group boundaries are detected with a
+    JVM-computed xxhash64 of the key (int compares, no string objects);
+    groups split across Arrow batch boundaries are stitched by carrying the
+    trailing partial group — batches of one partition arrive in order in a
+    single mapInArrow iterator, and hash partitioning keeps each series in
+    exactly one partition.
+    """
+    import pyarrow as pa
+
+    chans = list(channels)
+    fields = [f"{key_col} string", "n int"] + [f"gm_{c} float" for c in chans]
+    if with_mads:
+        fields += ["emad float", "smad float", "bcmad float"]
+    schema = ", ".join(fields)
+
+    sc = tier_df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    prepared = (
+        tier_df.select(
+            key_col,
+            F.xxhash64(key_col).alias("_gk"),
+            order_col,
+            *[F.col(c).cast("float").alias(c) for c in chans],
+        )
+        .repartition(par, key_col)
+        .sortWithinPartitions(key_col, order_col)
+    )
+
+    def gen(batches):
+        carry = None  # trailing partial group: dict of numpy arrays
+
+        def process(ids, gk, cols):
+            """Complete groups only: caller guarantees the last group ends."""
+            bounds = np.nonzero(gk[1:] != gk[:-1])[0] + 1
+            starts = np.concatenate(([0], bounds))
+            lens_all = np.diff(np.concatenate((starts, [len(gk)])))
+            first_idx = starts
+            out_batches = []
+            for idx in _chunks_by_cells(lens_all, len(chans)):
+                lens = lens_all[idx]
+                G = len(idx)
+                nmax = int(lens.max())
+                total = int(lens.sum())
+                starts_pad = np.cumsum(lens) - lens
+                row_idx = np.repeat(np.arange(G), lens)
+                pos_idx = np.arange(total, dtype=np.int64) - np.repeat(starts_pad, lens)
+                src = np.repeat(first_idx[idx], lens) + pos_idx
+                X = np.full((G, len(chans), nmax), np.nan, dtype=np.float32)
+                for j, c in enumerate(chans):
+                    X[:, j, :][row_idx, pos_idx] = cols[j][src]
+                gm = nangeomedian_batch(X, eps, maxiters, lengths=lens)
+                out = {
+                    key_col: ids.take(pa.array(first_idx[idx])),
+                    "n": pa.array(lens.astype(np.int32)),
+                }
+                for j, c in enumerate(chans):
+                    out[f"gm_{c}"] = pa.array(gm[:, j])
+                if with_mads:
+                    for k, v in mads_batch(X, gm).items():
+                        out[k] = pa.array(v)
+                out_batches.append(pa.RecordBatch.from_pydict(out))
+            return out_batches
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            ids = rb.column(names.index(key_col))
+            gk = rb.column(names.index("_gk")).to_numpy().astype(np.int64)
+            cols = [
+                rb.column(names.index(c)).to_numpy(zero_copy_only=False) for c in chans
+            ]
+            if carry is not None:
+                ids = pa.concat_arrays([carry["ids"], ids])
+                gk = np.concatenate((carry["gk"], gk))
+                cols = [np.concatenate((cv, c)) for cv, c in zip(carry["cols"], cols)]
+            # split off the trailing group (it may continue in the next batch)
+            last_gk = gk[-1]
+            if (gk != last_gk).any():
+                tail_start = len(gk) - int((gk[::-1] != last_gk).argmax())
+            else:
+                tail_start = 0  # whole batch is one group — carry it all
+            carry = {
+                "ids": ids.slice(tail_start),
+                "gk": gk[tail_start:],
+                "cols": [c[tail_start:] for c in cols],
+            }
+            if tail_start > 0:
+                yield from process(
+                    ids.slice(0, tail_start), gk[:tail_start], [c[:tail_start] for c in cols]
+                )
+        if carry is not None and len(carry["gk"]):
+            yield from process(carry["ids"], carry["gk"], carry["cols"])
+
+    return prepared.mapInArrow(gen, schema)
 
 
 def dtw_area_batched(

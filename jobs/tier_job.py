@@ -30,6 +30,16 @@ def main():
     ap.add_argument("--reroll-days", default="")
     ap.add_argument("--report", default="")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--with-composite", action="store_true",
+        help="also materialize the geomedian+MAD composite tier from the 1m tier",
+    )
+    ap.add_argument(
+        "--repeat", type=int, default=1,
+        help="run the phase this many times (fresh tier root each time) and "
+        "report the LAST iteration — JIT/codegen-warm numbers, matching a "
+        "long-running production job",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,14 +52,20 @@ def main():
 
     from hdstats_spark.plans.pipeline import TierPipeline
 
-    t0 = time.time()
     transcripts = spark.read.parquet(args.input) if args.input else None
-    pipe = TierPipeline(spark, args.root, raw_root=args.raw_root or None)
     reroll = {d for d in args.reroll_days.split(",") if d}
-    metrics = pipe.run(
-        transcripts, args.input_snapshot, reroll_days=reroll, phase=args.phase
-    )
-    wall = time.time() - t0
+    for i in range(max(args.repeat, 1)):
+        root = args.root if args.repeat <= 1 else f"{args.root}_i{i}"
+        pipe = TierPipeline(spark, root, raw_root=args.raw_root or None)
+        t0 = time.time()
+        metrics = pipe.run(
+            transcripts,
+            args.input_snapshot,
+            reroll_days=reroll,
+            phase=args.phase,
+            with_composite=args.with_composite,
+        )
+        wall = time.time() - t0
     metrics["wall_s"] = round(wall, 2)
     pts = metrics.get("points", 0)
     metrics["points_per_sec"] = round(pts / wall, 1) if wall and pts else None

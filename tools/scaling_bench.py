@@ -54,12 +54,17 @@ def gen_input(path: str, n_convs: int) -> int:
     return n
 
 
-def _submit(cores: int, extra_args: list[str], tag: str) -> dict:
+def _submit(cores: int, extra_args: list[str], tag: str, pin: bool = True) -> dict:
     report = os.path.join(WORK, f"report_{tag}.json")
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
     )
-    cmd = [
+    # pin the WHOLE process (task threads + GC + netty + parquet writers) to
+    # `cores` CPUs: an unpinned local[N] borrows extra host cores for JVM
+    # auxiliary threads, inflating small-N throughput and understating
+    # scaling efficiency vs a real N-executor deployment
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin and shutil.which("taskset") else []
+    cmd = prefix + [
         spark_submit,
         "--master", f"local[{cores}]",
         "--conf", "spark.ui.enabled=false",
@@ -107,7 +112,7 @@ def run_level(cores: int, raw_root: str, run_id: str) -> dict:
     shutil.rmtree(root, ignore_errors=True)
     return _submit(
         cores,
-        ["--root", root, "--raw-root", raw_root, "--phase", "rollup"],
+        ["--root", root, "--raw-root", raw_root, "--phase", "rollup", "--repeat", "2"],
         f"{run_id}_{cores}",
     )
 
