@@ -36,14 +36,20 @@ HEADLINE = [
     "lang_id",
     "knn_cosine",
     "embedding_dups",
+    "embedding_dups_lsh",
+    "dist_to_centroid",
+    "geomedian_1d",
     "geomedian_mads",
+    "symmetry",
     "fourier_features",
     "discordance",
     "dtw_area",
     "area_warp",
-    # ngram_jaccard is a correctness query (sf0.01); at sf0.1 the synthetic
-    # 30-word vocabulary makes every bigram hot → the exact self-join is
-    # inherently quadratic there (minhash_lsh is the scale path)
+    "multimodal_features",
+    # re-admitted with the max_doc_freq=200 hot-shingle cap: the synthetic
+    # 30-word vocabulary makes every bigram hot at sf0.1, and the cap bounds
+    # the self-join fan-out (minhash_lsh remains the uncapped scale path)
+    "ngram_jaccard",
     "minhash_lsh",
     "simhash_dups",
     "knn_lsh",

@@ -399,11 +399,13 @@ def q_topk_users(spark, sf_dir):
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), _r6(F.sum("value")).alias("v_sum")
     )
+    # orderBy().limit(k) plans as TakeOrderedAndProject (per-partition top-k +
+    # driver merge) — no global single-partition window Exchange; rnk is then
+    # derived on the 10 surviving rows only.
+    top = agg.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
     w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("user_id", "n_events", "v_sum", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "user_id", "n_events", "v_sum", "rnk"
     )
 
 
@@ -477,11 +479,12 @@ def q_top_customers(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(_r6(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
     )
+    # TakeOrderedAndProject instead of an un-partitioned window (scale: the
+    # aggregated row set never funnels through one task)
+    top = agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("c_custkey", "c_name", "revenue", "n_orders", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "c_custkey", "c_name", "revenue", "n_orders", "rnk"
     )
 
 
@@ -737,6 +740,114 @@ SELECT * FROM (
 """
 
 
+def q_embedding_dups_lsh(spark, sf_dir, threshold=0.4):
+    """The AT-SCALE embedding near-dup path: LSH bucket self-join + exact
+    re-rank (operators/dedup.dedup_embedding_lsh) — nothing collected to the
+    driver.  Rows-only at the driver (LSH recall <1 structurally); recall vs
+    the exact pairs is pytest-verified (test_dedup_simsearch)."""
+    from .operators.dedup import dedup_embedding_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return dedup_embedding_lsh(e, dim, threshold=threshold, k=4, tables=32)
+
+
+def q_dist_to_centroid(spark, sf_dir):
+    """Per-observation distance table (reference cosdist/eucdist,
+    ts.pyx:56-114 — the (m,q,n) PER-TIME output, not its median): euclidean +
+    cosine distance of every hourly channel vector to the series centroid.
+    Pure JVM column expressions; DuckDB-hash-checked."""
+    b = _event_buckets(spark, sf_dir, "hour")
+    chans = list(EVENT_CHANNELS)
+    cent = b.groupBy("user_id").agg(*[F.avg(c).alias(f"c_{c}") for c in chans])
+    j = b.join(F.broadcast(cent), "user_id")
+    diffsq = sum(
+        ((F.col(c) - F.col(f"c_{c}")) * (F.col(c) - F.col(f"c_{c}")) for c in chans[1:]),
+        (F.col(chans[0]) - F.col(f"c_{chans[0]}")) * (F.col(chans[0]) - F.col(f"c_{chans[0]}")),
+    )
+    dot = sum((F.col(c) * F.col(f"c_{c}") for c in chans[1:]), F.col(chans[0]) * F.col(f"c_{chans[0]}"))
+    na = sum((F.col(c) * F.col(c) for c in chans[1:]), F.col(chans[0]) * F.col(chans[0]))
+    nb = sum((F.col(f"c_{c}") * F.col(f"c_{c}") for c in chans[1:]), F.col(f"c_{chans[0]}") * F.col(f"c_{chans[0]}"))
+    return j.select(
+        "user_id",
+        "bucket",
+        _r6(F.sqrt(diffsq)).alias("eucdist"),
+        _r6(F.lit(1.0) - F.try_divide(dot, F.sqrt(na) * F.sqrt(nb))).alias("cosdist"),
+    )
+
+
+def _sql_dist_to_centroid():
+    chans = list(EVENT_CHANNELS)
+    diffsq = " + ".join(f"(b.{c} - c.c_{c}) * (b.{c} - c.c_{c})" for c in chans)
+    dot = " + ".join(f"b.{c} * c.c_{c}" for c in chans)
+    na = " + ".join(f"b.{c} * b.{c}" for c in chans)
+    nb = " + ".join(f"c.c_{c} * c.c_{c}" for c in chans)
+    cents = ", ".join(f"avg({c}) AS c_{c}" for c in chans)
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+c AS (SELECT user_id, {cents} FROM b GROUP BY user_id)
+SELECT b.user_id, b.bucket,
+       round(sqrt({diffsq}), 6) AS eucdist,
+       round(1.0 - ({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0), 6) AS cosdist
+FROM b JOIN c ON b.user_id = c.user_id
+"""
+
+
+def q_geomedian_1d(spark, sf_dir):
+    """DuckDB-green evidence for the Weiszfeld kernel itself: at p=1 the
+    geometric median degenerates to the 1-D median, and on an ODD-length
+    integer series that median is a unique anchor point the iteration
+    converges onto — so the batched kernel's output equals SQL median() after
+    2-dp rounding.  Series = each user's hourly event count, truncated to odd
+    length (drop the last bucket when even)."""
+    from .operators.series import geomedian_mads_batched, series_table
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    wall = Window.partitionBy("user_id")
+    odd = (
+        hourly.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("_rn") <= F.col("_n") - (F.lit(1) - F.col("_n") % 2))
+        .select(F.col("user_id").cast("string").alias("conv_id"), "bucket", "v")
+    )
+    gm = geomedian_mads_batched(series_table(odd, ["v"]), ["v"], with_mads=False)
+    return gm.select(
+        F.col("conv_id").alias("user_id"),
+        F.round(F.col("gm_v").cast("double"), 2).alias("gm_v"),
+    )
+
+
+SQL_GEOMEDIAN_1D = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM hourly
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id, round(median(v), 2) AS gm_v
+FROM o WHERE rn <= n - (1 - n % 2) GROUP BY user_id
+"""
+
+
+def q_symmetry(spark, sf_dir):
+    """Reference ``symmetry`` (ts.pyx:231-243): cosine distance between each
+    series' time-mean channel vector and its geomedian composite (rows-only;
+    the gm is non-SQL-expressible)."""
+    from .operators.kernels import symmetry_agg
+    from .operators.series import geomedian_mads_batched, series_table
+
+    dense, chans = _dense_event_series(spark, sf_dir)
+    gm = geomedian_mads_batched(series_table(dense, chans), chans, with_mads=False)
+    return symmetry_agg(dense, gm.drop("n"), chans)
+
+
 # ------------------------------------------------- kernel aggregates (rows-only)
 # Non-SQL-expressible reference kernels: the driver records rows-only checks;
 # exact semantics are pytest-verified against hdstats_oracle
@@ -826,24 +937,32 @@ def q_area_warp(spark, sf_dir):
 
 # ------------------------------------------------- dedup & similarity (docs)
 
-def q_ngram_jaccard(spark, sf_dir, n=2, threshold=0.04):
+def q_ngram_jaccard(spark, sf_dir, n=2, threshold=0.04, max_doc_freq=200):
     """Exact word-bigram Jaccard pairs via shingle equi-join (SQL-checkable);
-    n=2 because the synthetic corpus has no 5-gram collisions."""
+    n=2 because the synthetic corpus has no 5-gram collisions.  The
+    document-frequency cap drops shingles hotter than max_doc_freq BEFORE the
+    self-join — the standard guard that keeps the join linear-ish when one
+    shingle appears in millions of documents (the oracle applies the same
+    cap, so semantics stay hash-checked)."""
     from .operators.dedup import shingle_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return shingle_jaccard_pairs(d, threshold=threshold, n=n)
+    return shingle_jaccard_pairs(d, threshold=threshold, n=n, max_doc_freq=max_doc_freq)
 
 
-def _sql_ngram_jaccard(n=2, threshold=0.04):
+def _sql_ngram_jaccard(n=2, threshold=0.04, max_doc_freq=200):
     return f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
-), s AS (
+), s0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),
                                i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
   FROM t
+), hot AS (
+  SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) > {max_doc_freq}
+), s AS (
+  SELECT s0.* FROM s0 ANTI JOIN hot USING (shingle)
 ), sz AS (
   SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id
 ), c AS (
@@ -901,10 +1020,53 @@ def q_winnow_overlap(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary-asset feature extraction (decode stubbed, Spark plumbing real):
-    deterministic synthetic assets → 16-dim histogram features."""
-    from .operators.multimodal import extract_features, gen_assets
+    assets derived from the documents table (payload = UTF-8 text bytes) →
+    16 scalar histogram-feature columns.  Because the asset bytes come from a
+    registered table and FakeDecoder is pure byte arithmetic, the whole
+    decode→histogram pipeline has an exact DuckDB oracle."""
+    from .operators.multimodal import assets_from_docs, extract_features
 
-    return extract_features(gen_assets(spark, n=60), dim=16)
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(assets_from_docs(d), dim=16)
+
+
+def _sql_multimodal_features(dim=16):
+    """DuckDB mirror of FakeDecoder + np.histogram over UTF-8 (ASCII) text
+    bytes: image → first ⌊√L⌋² bytes /255, audio → all bytes (b−128)/128,
+    video → max(L//64,1)·64 bytes (i mod L indexing) /255; 16 uniform bins on
+    (−1,1), last bin right-inclusive (bin = least(floor((v+1)·8), 15))."""
+    f_cols = ",\n       ".join(
+        f"round(sum(CASE WHEN bin = {j} THEN 1 ELSE 0 END) * 1.0 / m, 6) AS f_{j}"
+        for j in range(dim)
+    )
+    return f"""
+WITH a AS (
+  SELECT CAST(doc_id AS BIGINT) AS asset_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text, length(text) AS L
+  FROM documents
+), sized AS (
+  SELECT asset_id, kind, text, L,
+         CASE kind
+           WHEN 'image' THEN CAST(floor(sqrt(L)) AS BIGINT) * CAST(floor(sqrt(L)) AS BIGINT)
+           WHEN 'audio' THEN L
+           ELSE greatest(L // 64, 1) * 64
+         END AS m
+  FROM a
+), vals AS (
+  SELECT asset_id, kind, m,
+         ascii(substr(text, CAST(i % L AS INT) + 1, 1)) AS byte
+  FROM sized, unnest(range(m)) AS u(i)
+), binned AS (
+  SELECT asset_id, kind, m,
+         least(CAST(floor((CASE WHEN kind = 'audio' THEN (byte - 128.0) / 128.0
+                                ELSE byte / 255.0 END + 1.0) * 8.0) AS INT), {dim - 1}) AS bin
+  FROM vals
+)
+SELECT asset_id, kind,
+       {f_cols}
+FROM binned GROUP BY asset_id, kind, m
+"""
 
 
 def q_compression_roundtrip(spark, sf_dir):
@@ -948,8 +1110,12 @@ def queries():
         "knn_cosine": q_knn_cosine,
         "embedding_centroids": q_embedding_centroids,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "dist_to_centroid": q_dist_to_centroid,
+        "geomedian_1d": q_geomedian_1d,
         # kernel aggregates (rows-only checks; pytest-verified vs oracle)
         "geomedian_mads": q_geomedian_mads,
+        "symmetry": q_symmetry,
         "fourier_features": q_fourier_features,
         "discordance": q_discordance,
         "dtw_area": q_dtw_area,
@@ -989,5 +1155,8 @@ def oracles():
         "knn_cosine": _sql_knn_cosine(),
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "embedding_dups": _sql_embedding_dups(),
+        "dist_to_centroid": _sql_dist_to_centroid(),
+        "geomedian_1d": SQL_GEOMEDIAN_1D,
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "multimodal_features": _sql_multimodal_features(),
     }

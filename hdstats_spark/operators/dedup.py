@@ -157,6 +157,60 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_embedding_lsh(
+    emb_df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    k: int = 8,
+    tables: int = 32,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs AT SCALE: random-hyperplane LSH bucket
+    self-join → exact cosine re-rank → τ filter.
+
+    This is the 10^9-vector path: candidate generation is an equi-join on
+    (table, signature) — never a cross join, and nothing is collected to the
+    driver (contrast q_embedding_dups' broadcast GEMM, which is the exact
+    small-reference oracle variant).  Recall is tunable via (k, tables):
+    P(candidate) = 1 − (1 − p^k)^tables with p = 1 − θ/π; the defaults give
+    >0.99 at cos ≥ 0.4.  Recall vs the exact pairs is pytest-verified
+    (tests/test_dedup_simsearch.py)."""
+    from .simsearch import lsh_signatures
+
+    sig = lsh_signatures(emb_df, dim, k, tables, seed, id_col, emb_col)
+    a = sig.select(F.col(id_col).alias("id_a"), "table", "sig")
+    b = sig.select(F.col(id_col).alias("id_b"), "table", "sig")
+    cands = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb_df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
+    eb = emb_df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
+    paired = cands.join(ea, "id_a").join(eb, "id_b")
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["e_a"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["e_b"].to_numpy()).astype(np.float64)
+            sim = np.round(
+                (A * B).sum(axis=1)
+                / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))),
+                6,
+            )
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos_sim": sim}
+            )
+
+    sims = paired.mapInPandas(rerank, "id_a long, id_b long, cos_sim double")
+    return sims.filter(F.col("cos_sim") >= threshold)
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col="doc_id", text_col="text"
 ) -> DataFrame:

@@ -69,26 +69,52 @@ def gen_assets(spark, n: int = 100, seed: int = 3) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def assets_from_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic asset table derived from a text corpus: payload = the
+    UTF-8 bytes of the document, kind round-robins by id.  Because the
+    'media' bytes come from a registered table, the whole decode→histogram
+    feature pipeline is DuckDB-expressible and driver-hash-checkable."""
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.create_map(F.lit("src"), F.concat(F.lit("doc/"), F.col(id_col))).alias("meta"),
+    )
+
+
 def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
-    """payload → fixed-dim feature vector (histogram of decoded values) via
-    mapInPandas.  The Arrow plumbing (binary in, array<float> out) is the
-    real contract; only the decode is fake."""
+    """payload → fixed-dim feature columns (histogram of decoded values) via
+    mapInPandas.  The Arrow plumbing (binary in, scalar floats out) is the
+    real contract; only the decode is fake.
+
+    Output is one DOUBLE column per histogram bin (f_0..f_{dim-1}, rounded to
+    6 dp) — scalar columns, not array<float>, so downstream hash/canonical
+    comparators (and plain SQL consumers) handle the rows directly."""
 
     def gen(batches):
         for pdf in batches:
-            feats = []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+            feats = np.zeros((len(pdf), dim), dtype=np.float64)
+            for i, (payload, kind) in enumerate(zip(pdf["payload"], pdf["kind"])):
                 arr = FakeDecoder.decode(payload, kind).ravel()
                 if arr.size == 0:
-                    feats.append(np.zeros(dim, dtype=np.float32))
                     continue
                 hist, _ = np.histogram(arr, bins=dim, range=(-1.0, 1.0))
-                feats.append((hist / max(arr.size, 1)).astype(np.float32))
-            yield pd.DataFrame(
-                {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "features": feats}
-            )
+                feats[i] = hist / max(arr.size, 1)
+            out = {"asset_id": pdf["asset_id"], "kind": pdf["kind"]}
+            for j in range(dim):
+                # half-away-from-zero (SQL ROUND semantics), not np.round's
+                # banker's rounding: exact halves like 3360/4096 = 0.8203125
+                # must round the way the relational side does
+                out[f"f_{j}"] = np.floor(feats[:, j] * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(out)
 
-    return assets.mapInPandas(gen, "asset_id long, kind string, features array<float>")
+    schema = "asset_id long, kind string, " + ", ".join(f"f_{j} double" for j in range(dim))
+    return assets.mapInPandas(gen, schema)
 
 
 def sample_frames(assets: DataFrame, every: int = 4) -> DataFrame:

@@ -80,18 +80,54 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.7, recall
 
 
+def test_embedding_dedup_lsh_recall(spark):
+    from hdstats_spark.driver_queries import q_embedding_dups
+    from hdstats_spark.operators.dedup import dedup_embedding_lsh
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    exact = q_embedding_dups(spark, sf, threshold=0.4).toPandas()
+    truth = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    approx = dedup_embedding_lsh(emb, dim, threshold=0.4, k=4, tables=32).toPandas()
+    got = {(a, b) for a, b in zip(approx.id_a, approx.id_b)}
+    recall = len(truth & got) / max(len(truth), 1)
+    assert recall >= 0.9, (recall, truth - got)
+    # no false positives: every surviving pair passed the exact re-rank
+    assert got <= truth
+
+
 def test_multimodal_features_and_frames(spark):
     from hdstats_spark.operators.multimodal import extract_features, gen_assets, sample_frames
 
+    fcols = [f"f_{j}" for j in range(16)]
     assets = gen_assets(spark, n=30)
     feats = extract_features(assets, dim=16).toPandas()
     assert len(feats) == 30
-    assert all(len(f) == 16 for f in feats.features)
+    # histogram features are normalized frequencies
+    assert ((feats[fcols].sum(axis=1) - 1.0).abs() < 1e-4).all()
     # deterministic: same seed → same features
     feats2 = extract_features(gen_assets(spark, n=30), dim=16).toPandas()
-    a = np.stack(feats.sort_values("asset_id").features.to_numpy())
-    b = np.stack(feats2.sort_values("asset_id").features.to_numpy())
+    a = feats.sort_values("asset_id")[fcols].to_numpy()
+    b = feats2.sort_values("asset_id")[fcols].to_numpy()
     np.testing.assert_array_equal(a, b)
     frames = sample_frames(assets).toPandas()
     assert (frames.frame_idx % 4 == 0).all()
     assert all(len(f) == 64 for f in frames.frame)
+
+
+def test_multimodal_assets_from_docs(spark):
+    """assets_from_docs payload is the exact UTF-8 text; features are pure
+    byte arithmetic (the DuckDB oracle in driver_queries mirrors them)."""
+    from hdstats_spark.operators.multimodal import assets_from_docs, extract_features
+
+    docs = spark.createDataFrame(
+        [(0, "abc def ghi jkl mno pqr"), (1, "x" * 100), (2, "short")],
+        ["doc_id", "text"],
+    )
+    a = assets_from_docs(docs).toPandas().sort_values("asset_id")
+    assert list(a.kind) == ["image", "audio", "video"]
+    assert bytes(a.payload.iloc[0]) == b"abc def ghi jkl mno pqr"
+    f = extract_features(assets_from_docs(docs), dim=16).toPandas()
+    fcols = [f"f_{j}" for j in range(16)]
+    assert ((f[fcols].sum(axis=1) - 1.0).abs() < 1e-4).all()

@@ -1,6 +1,8 @@
 """Streaming 1m tier: streamed buckets ≡ batch rollup for on-time data;
 late-beyond-watermark turns are dropped from the append stream."""
 
+import glob
+import os
 import time
 
 import pandas as pd
@@ -19,6 +21,15 @@ def test_streaming_equals_batch(spark, transcripts, tmp_path):
     # arrange arrivals in event-time order (files = micro-batches)
     ordered = transcripts.orderBy("ts")
     ordered.coalesce(4).write.mode("overwrite").parquet(src)
+    # FileStreamSource processes files in MODIFICATION-TIME order, but the 4
+    # part files are written in parallel with nondeterministic mtimes; a file
+    # processed out of event-time order would have all rows dropped as late
+    # under watermark '0 seconds'.  Pin strictly increasing mtimes in
+    # part-index (= event-time) order.
+    parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    base = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
 
     q = run_stream_to_memory(spark, src, ckpt, name="t1m_stream", watermark="0 seconds")
     try:
