@@ -19,6 +19,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..schema import CHANNELS
 from .gorilla import (
@@ -56,6 +57,96 @@ def compress_tier(series_df: DataFrame, channels: Sequence[str] = CHANNELS) -> D
             yield pd.DataFrame(out)
 
     return series_df.mapInPandas(gen, schema)
+
+
+def compress_tier_flat(
+    tier_df: DataFrame,
+    channels: Sequence[str] = CHANNELS,
+    key_col: str = "conv_id",
+    order_col: str = "bucket",
+) -> DataFrame:
+    """FLAT tier rows → multi-series block rows, with ZERO per-series Python.
+
+    The per-series variant (compress_tier) pays a collect_list shuffle plus
+    one encode call per channel per series (~10^4+ NumPy dispatches per
+    million series).  Here rows are hash-partitioned on the series key and
+    Tungsten-sorted by (key, bucket); each Arrow batch becomes ONE block:
+    the whole batch's values are encoded in a single vectorized pass per
+    channel (the XOR / delta-of-delta chains simply run across series
+    boundaries — the boundary element falls back to the wide descriptor,
+    which is lossless), and per-series extents are recorded as
+    (conv_ids, ns) arrays so decode can re-split.  A series that spans two
+    Arrow batches lands in two blocks; decode concatenates naturally since
+    the long format is order-insensitive per (conv_id, bucket).
+    """
+    chans = list(channels)
+    schema = (
+        "conv_ids array<string>, ns array<int>, ts_blob binary, "
+        + ", ".join(f"{c}_blob binary" for c in chans)
+    )
+    sc = tier_df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    prepared = (
+        tier_df.select(
+            key_col,
+            F.xxhash64(key_col).alias("_gk"),
+            F.unix_timestamp(F.col(order_col)).alias("_ts_s"),
+            *[F.col(c).cast("float").cast("double").alias(c) for c in chans],
+        )
+        .repartition(par, key_col)
+        .sortWithinPartitions(key_col, "_ts_s")
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            ids = rb.column(names.index(key_col))
+            gk = rb.column(names.index("_gk")).to_numpy().astype(np.int64)
+            ts = rb.column(names.index("_ts_s")).to_numpy().astype(np.int64)
+            bounds = np.nonzero(gk[1:] != gk[:-1])[0] + 1
+            starts = np.concatenate(([0], bounds))
+            ns = np.diff(np.concatenate((starts, [len(gk)]))).astype(np.int32)
+            out = {
+                "conv_ids": pa.array([ids.take(pa.array(starts)).to_pylist()]),
+                "ns": pa.array([ns]),
+                "ts_blob": pa.array([encode_dod_timestamps(ts)], type=pa.binary()),
+            }
+            for c in chans:
+                v = rb.column(names.index(c)).to_numpy(zero_copy_only=False)
+                out[f"{c}_blob"] = pa.array([encode_xor_floats(v)], type=pa.binary())
+            yield pa.RecordBatch.from_pydict(out)
+
+    return prepared.mapInArrow(gen, schema)
+
+
+def decompress_tier_flat(
+    blocks_df: DataFrame, channels: Sequence[str] = CHANNELS
+) -> DataFrame:
+    """Multi-series block rows → long tier rows; one decode pass per block,
+    re-split by the stored (conv_ids, ns) extents (vectorized repeat)."""
+    chans = list(channels)
+    schema = "conv_id string, bucket timestamp, " + ", ".join(f"{c} double" for c in chans)
+
+    def gen(batches):
+        for pdf in batches:
+            for i in range(len(pdf)):
+                ts = decode_dod_timestamps(pdf["ts_blob"].iloc[i])
+                out = {
+                    "conv_id": np.repeat(
+                        np.asarray(pdf["conv_ids"].iloc[i], dtype=object),
+                        np.asarray(pdf["ns"].iloc[i], dtype=np.int64),
+                    ),
+                    "bucket": pd.to_datetime(ts, unit="s"),
+                }
+                for c in chans:
+                    out[c] = decode_xor_floats(pdf[f"{c}_blob"].iloc[i])
+                yield pd.DataFrame(out)
+
+    return blocks_df.mapInPandas(gen, schema)
 
 
 def decompress_tier(blocks_df: DataFrame, channels: Sequence[str] = CHANNELS) -> DataFrame:

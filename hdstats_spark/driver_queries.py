@@ -749,7 +749,10 @@ def q_embedding_dups_lsh(spark, sf_dir, threshold=0.4):
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    return dedup_embedding_lsh(e, dim, threshold=threshold, k=4, tables=32)
+    # target_bucket=16: random synthetic embeddings are near-orthogonal, so
+    # candidate volume (≈ bucket²·buckets·tables) is the cost driver; smaller
+    # buckets trade a little recall for ~5× fewer exact re-ranks
+    return dedup_embedding_lsh(e, dim, threshold=threshold, tables=32, target_bucket=16)
 
 
 def q_dist_to_centroid(spark, sf_dir):
@@ -862,7 +865,12 @@ def _dense_event_series(spark, sf_dir):
         .drop("user_id")
     )
     chans = list(EVENT_CHANNELS)
-    return completion(densify(tier, "1h", chans), chans), chans
+    # The dense gap-filled tier is the shared input of every series kernel —
+    # in the production engine it is a materialized retention-tier table
+    # (TierPipeline); here .cache() plays that role: Spark's CacheManager
+    # dedupes by logical plan, so the six kernel queries materialize the
+    # densify+completion windows ONCE per session instead of once per query.
+    return completion(densify(tier, "1h", chans), chans).cache(), chans
 
 
 def q_geomedian_mads(spark, sf_dir):
@@ -876,19 +884,40 @@ def q_geomedian_mads(spark, sf_dir):
 
 def q_fourier_features(spark, sf_dir):
     """fourier_mean/std/median bands (ts.pyx:159-192) of the hourly event
-    rate per user."""
-    from .operators.kernels import fourier_features
+    rate per user — batched length-class FFT over the series table (the
+    per-group applyInPandas variant survives in operators/kernels for
+    reference parity; this is the plan you'd run at 10^6+ series)."""
+    from .operators.series import fourier_features_batched, series_table
 
     dense, _ = _dense_event_series(spark, sf_dir)
-    return fourier_features(dense, "n_events", n=3, step=5)
+    st = series_table(dense, ["n_events"])
+    return fourier_features_batched(st, "n_events", n=3, step=5)
 
 
 def q_discordance(spark, sf_dir):
-    """FFT low-pass residual vs the area curve (ts.pyx:140-156)."""
-    from .operators.kernels import discordance_agg
+    """FFT low-pass residual vs the area curve (ts.pyx:140-156).  Phase 1:
+    tiny groupBy(t) area-mean aggregate, |ifft|-low-passed on the driver and
+    broadcast (O(max series length) rows — inherent to the reference's
+    broadcast-back semantics).  Phase 2: batched per-series Re(ifft) low-pass
+    over the series table."""
+    import numpy as np
+
+    from .operators.series import discordance_batched, series_table
 
     dense, _ = _dense_event_series(spark, sf_dir)
-    return discordance_agg(dense, "n_events", n=10)
+    n = 10
+    area = (
+        dense.groupBy("t")
+        .agg(F.avg(F.col("n_events").cast("float")).alias("mv"))
+        .orderBy("t")
+        .collect()
+    )
+    curve = np.asarray([r["mv"] for r in area], dtype=np.float32)
+    Y = np.fft.fft(curve)
+    Y[n:] = 0.0
+    area_lp = np.abs(np.fft.ifft(Y)).astype(np.float32)  # |ifft| (ts.pyx:146)
+    st = series_table(dense, ["n_events"])
+    return discordance_batched(st, "n_events", area_lp, n=n)
 
 
 def _area_median_curve(dense, value_col):
@@ -1071,14 +1100,14 @@ FROM binned GROUP BY asset_id, kind, m
 
 def q_compression_roundtrip(spark, sf_dir):
     """Gorilla/delta-of-delta round-trip through Spark: compress the per-user
-    hourly tier to blocks, decompress, return per-user checksums (rows-only;
-    bit-exactness pytest-verified)."""
-    from .compression.tiercodec import compress_tier, decompress_tier
-    from .operators.series import series_table
+    hourly tier to multi-series blocks (flat path — no collect_list, one
+    vectorized encode per channel per Arrow batch), decompress, return
+    per-user checksums (rows-only; bit-exactness pytest-verified)."""
+    from .compression.tiercodec import compress_tier_flat, decompress_tier_flat
 
     tier, chans = _dense_event_series(spark, sf_dir)
-    blocks = compress_tier(series_table(tier, chans), chans)
-    back = decompress_tier(blocks, chans)
+    blocks = compress_tier_flat(tier, chans)
+    back = decompress_tier_flat(blocks, chans)
     return back.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("v_sum"), 4).alias("v_sum_total"),

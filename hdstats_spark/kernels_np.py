@@ -166,6 +166,43 @@ def dtw_dist_batch(
     return out.astype(F32)
 
 
+def fourier_batch(X: np.ndarray, n: int = 3, step: int = 5) -> dict[str, np.ndarray]:
+    """Batched fourier_mean/std/median bands (ts.pyx:159-192) over (G, L)
+    float32 series of EQUAL length → 3n (G,) float32 vectors.
+
+    One FFT over the whole stack replaces G per-series FFTs; band slicing,
+    mean/std/median all reduce along axis 1.  Numerically identical to the
+    per-series path (same complex128 FFT, same float64 band stats, float32
+    cast at the end)."""
+    mag = np.abs(np.fft.fft(X, axis=1))
+    L = X.shape[1]
+    out: dict[str, np.ndarray] = {}
+    G = X.shape[0]
+    for k in range(n):
+        sl = mag[:, 1 + k * step : (k + 1) * step + 1]
+        if sl.shape[1]:
+            out[f"fmean_{k}"] = sl.mean(axis=1).astype(F32)
+            out[f"fstd_{k}"] = sl.std(axis=1).astype(F32)
+            out[f"fmedian_{k}"] = np.median(sl, axis=1).astype(F32)
+        else:  # band entirely beyond the series length (L <= 1 + k*step)
+            nanv = np.full(G, np.nan, dtype=F32)
+            out[f"fmean_{k}"] = nanv
+            out[f"fstd_{k}"] = nanv
+            out[f"fmedian_{k}"] = nanv
+    return out
+
+
+def discordance_batch(X: np.ndarray, area_lp: np.ndarray, n: int = 10) -> np.ndarray:
+    """Batched discordance (ts.pyx:140-156) over (G, L) float32 equal-length
+    series vs the precomputed |ifft|-low-passed area curve → (G,) float32.
+    Per-series low-pass uses Re(ifft) — the reference's asymmetry."""
+    Yp = np.fft.fft(X, axis=1)
+    Yp[:, n:] = 0.0
+    x_lp = np.real(np.fft.ifft(Yp, axis=1)).astype(F32)
+    resid = x_lp - area_lp[: X.shape[1]][None, :]
+    return resid.mean(axis=1).astype(F32)
+
+
 def mads_batch(X: np.ndarray, gm: np.ndarray) -> dict[str, np.ndarray]:
     """Batched emad/smad/bcmad (geomad.pyx:200-350) over (G, p, n) with
     composites (G, p) → three (G,) float32 vectors."""

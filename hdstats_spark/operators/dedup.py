@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 # 31-bit Mersenne prime: (a·h + b) stays < 2^62, safe under ANSI int64
 _MERSENNE = (1 << 31) - 1
+_ONE_U64 = np.uint64(1)
 
 
 def tokens_col(text_col="text"):
@@ -66,7 +67,9 @@ def shingle_jaccard_pairs(
     id_col="doc_id", text_col="text", max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via shingle equi-join."""
-    s = doc_shingles(docs, n, id_col, text_col, max_doc_freq)
+    # cached: the exploded shingle table feeds the size agg AND both sides of
+    # the self-join — recomputing the explode 3× dominates at scale
+    s = doc_shingles(docs, n, id_col, text_col, max_doc_freq).cache()
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = s.select(F.col(id_col).alias("id_a"), "shingle")
     b = s.select(F.col(id_col).alias("id_b"), "shingle")
@@ -161,11 +164,12 @@ def dedup_embedding_lsh(
     emb_df: DataFrame,
     dim: int,
     threshold: float = 0.4,
-    k: int = 8,
+    k: int | None = None,
     tables: int = 32,
     seed: int = 11,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Embedding near-duplicate pairs AT SCALE: random-hyperplane LSH bucket
     self-join → exact cosine re-rank → τ filter.
@@ -173,11 +177,21 @@ def dedup_embedding_lsh(
     This is the 10^9-vector path: candidate generation is an equi-join on
     (table, signature) — never a cross join, and nothing is collected to the
     driver (contrast q_embedding_dups' broadcast GEMM, which is the exact
-    small-reference oracle variant).  Recall is tunable via (k, tables):
-    P(candidate) = 1 − (1 − p^k)^tables with p = 1 − θ/π; the defaults give
-    >0.99 at cos ≥ 0.4.  Recall vs the exact pairs is pytest-verified
+    small-reference oracle variant).
+
+    ``k=None`` auto-sizes the signature width to the corpus so the expected
+    bucket stays ≈ target_bucket vectors (k = log2(N / target_bucket)) —
+    the standard LSH-index tuning: a fixed k means buckets (and the self-join
+    fan-out) grow linearly with N.  Recall follows
+    P(candidate) = 1 − (1 − p^k)^tables with p = 1 − θ/π, so larger corpora
+    need more tables for the same recall at a given τ; recall vs the exact
+    pairs is pytest-verified at the driver scale
     (tests/test_dedup_simsearch.py)."""
     from .simsearch import lsh_signatures
+
+    if k is None:
+        n_vecs = emb_df.count()
+        k = max(4, int(np.ceil(np.log2(max(n_vecs / target_bucket, 2.0)))))
 
     sig = lsh_signatures(emb_df, dim, k, tables, seed, id_col, emb_col)
     a = sig.select(F.col(id_col).alias("id_a"), "table", "sig")
@@ -221,19 +235,29 @@ def simhash_fingerprints(
     )
 
     def gen(batches):
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            fps = np.empty(len(pdf), dtype=np.int64)
-            for i, th in enumerate(pdf["th"]):
-                h = np.asarray(th, dtype=np.int64).view(np.uint64)
-                if h.size == 0:
-                    fps[i] = 0
-                    continue
-                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - h.size  # (+1/-1 vote sums)
-                fp = np.uint64(0)
-                for bit in np.nonzero(votes > 0)[0]:
-                    fp |= np.uint64(1) << np.uint64(bit)
-                fps[i] = fp.astype(np.int64) if hasattr(fp, "astype") else np.int64(fp)
+            G = len(pdf)
+            if G == 0:
+                continue
+            lens = np.fromiter((len(t) for t in pdf["th"]), dtype=np.int64, count=G)
+            total = int(lens.sum())
+            fps = np.zeros(G, dtype=np.uint64)
+            nonempty = np.nonzero(lens > 0)[0]
+            if total:
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=np.int64) for t in pdf["th"] if len(t)]
+                ).view(np.uint64)
+                starts = (np.cumsum(lens) - lens)[nonempty]
+                # per-bit-plane popcount: one reduceat per bit keeps memory
+                # O(total) instead of a (total, 64) matrix; votes>0 ⇔ ones
+                # outnumber zeros among the doc's token hashes
+                votes = np.empty((len(nonempty), 64), dtype=np.int64)
+                for bit in range(64):
+                    plane = ((flat >> shifts[bit]) & _ONE_U64).astype(np.int64)
+                    votes[:, bit] = np.add.reduceat(plane, starts)
+                pos = votes * 2 > lens[nonempty][:, None]
+                fps[nonempty] = (pos.astype(np.uint64) << shifts[None, :]).sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps.view(np.int64)})
 
     return hashed.mapInPandas(gen, f"{id_col} long, simhash long")

@@ -24,7 +24,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels_np import dtw_dist_batch, mads_batch, nangeomedian_batch
+from ..kernels_np import (
+    discordance_batch,
+    dtw_dist_batch,
+    fourier_batch,
+    mads_batch,
+    nangeomedian_batch,
+)
 from ..schema import CHANNELS
 
 _CELL_BUDGET = 16_000_000  # f32 cells per padded tensor chunk (~64 MB)
@@ -187,6 +193,76 @@ def number_peaks_agg(
             )
 
     return series_df.mapInPandas(gen, f"{key_col} string, n_peaks int")
+
+
+def _equal_length_stacks(pdf: pd.DataFrame, value_col: str, key_col: str):
+    """Yield (ids, X) with X a (G_L, L) float32 stack per distinct series
+    length — the padding-free batch shape for FFT-style kernels where the
+    transform length is semantic (an FFT of a padded series is a DIFFERENT
+    FFT, so unlike the Weiszfeld/MAD path NaN-padding is not neutral here)."""
+    lens = pdf["n"].to_numpy()
+    vals = pdf[value_col].to_numpy()
+    ids = pdf[key_col].to_numpy()
+    for L in np.unique(lens):
+        idx = np.nonzero(lens == L)[0]
+        X = np.concatenate(
+            [np.asarray(vals[i][: int(L)], dtype=np.float32) for i in idx]
+        ).reshape(len(idx), int(L))
+        yield ids[idx], X
+
+
+def fourier_features_batched(
+    series_df: DataFrame,
+    value_col: str,
+    n: int = 3,
+    step: int = 5,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """fourier_mean/std/median bands (ts.pyx:159-192) for every series in one
+    mapInPandas pass — replaces the per-group applyInPandas dispatch with one
+    batched FFT per (Arrow batch × length class)."""
+    cols = [f"{stat}_{k}" for stat in ("fmean", "fstd", "fmedian") for k in range(n)]
+    schema = f"{key_col} string, " + ", ".join(f"{c} float" for c in cols)
+    sc = series_df.sparkSession.sparkContext
+    series_df = series_df.repartition(sc.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for ids, X in _equal_length_stacks(pdf, value_col, key_col):
+                out = fourier_batch(X, n, step)
+                yield pd.DataFrame({key_col: ids, **{c: out[c] for c in cols}})
+
+    return series_df.mapInPandas(gen, schema)
+
+
+def discordance_batched(
+    series_df: DataFrame,
+    value_col: str,
+    area_lp: np.ndarray,
+    n: int = 10,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Reference discordance (ts.pyx:140-156), phase 2: per-series FFT
+    low-pass residual vs the broadcast |ifft| area curve, batched by length
+    class (phase 1 — the tiny area-mean aggregate — stays a driver-side
+    collect of O(max series length) rows, see driver_queries.q_discordance)."""
+    sc = series_df.sparkSession.sparkContext
+    bcurve = sc.broadcast(np.asarray(area_lp, dtype=np.float32))
+    series_df = series_df.repartition(sc.defaultParallelism)
+
+    def gen(batches):
+        curve = bcurve.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for ids, X in _equal_length_stacks(pdf, value_col, key_col):
+                yield pd.DataFrame(
+                    {key_col: ids, "discordance": discordance_batch(X, curve, n)}
+                )
+
+    return series_df.mapInPandas(gen, f"{key_col} string, discordance float")
 
 
 def geomedian_mads_flat(

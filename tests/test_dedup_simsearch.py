@@ -59,6 +59,27 @@ def test_simhash_pairs(spark, docs):
     assert (3, 200) in got  # identical text → hamming 0
     ham = pairs.set_index(["id_a", "id_b"]).hamming
     assert ham.loc[(3, 200)] == 0
+    # correct SimHash separates unrelated docs (~32-bit expected distance):
+    # the pair set must stay sparse, not degenerate to all-pairs (regression
+    # for a uint64-underflow vote bug that set nearly every fingerprint bit)
+    assert len(got) < 100, len(got)
+
+
+def test_simhash_votes_match_reference(spark):
+    """Vectorized bit-plane votes ≡ per-bit majority definition."""
+    import pandas as pd
+
+    from hdstats_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta"), (1, "alpha bravo charlie delta"),
+         (2, "echo foxtrot golf hotel india")],
+        ["doc_id", "text"],
+    )
+    fp = simhash_fingerprints(docs).toPandas().set_index("doc_id").simhash
+    assert fp.loc[0] == fp.loc[1]  # identical text → identical fingerprint
+    h = np.uint64(fp.loc[0]) ^ np.uint64(fp.loc[2])
+    assert bin(int(h)).count("1") > 10  # unrelated text → far apart
 
 
 def test_knn_lsh_recall(spark):

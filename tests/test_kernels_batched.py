@@ -94,6 +94,38 @@ def test_dtw_batch_equals_serial():
     npt.assert_array_equal(got2[1], np.float32(exact_short))
 
 
+def test_fourier_batch_equals_oracle():
+    rng = np.random.default_rng(8)
+    X = rng.normal(0.5, 0.2, (20, 40)).astype(np.float32)
+    from hdstats_spark.kernels_np import fourier_batch
+
+    got = fourier_batch(X, n=3, step=5)
+    stack = X[:, None, :]  # (y, x=1, n) reference layout
+    o_mean = hdo.fourier_mean(stack, n=3, step=5)
+    o_std = hdo.fourier_std(stack, n=3, step=5)
+    o_med = hdo.fourier_median(stack, n=3, step=5)
+    for k in range(3):
+        npt.assert_allclose(got[f"fmean_{k}"], o_mean[:, 0, k], rtol=1e-4, atol=1e-4)
+        npt.assert_allclose(got[f"fstd_{k}"], o_std[:, 0, k], rtol=1e-4, atol=1e-4)
+        npt.assert_allclose(got[f"fmedian_{k}"], o_med[:, 0, k], rtol=1e-4, atol=1e-4)
+
+
+def test_discordance_batch_equals_oracle():
+    rng = np.random.default_rng(9)
+    X = rng.normal(0.5, 0.2, (16, 36)).astype(np.float32)
+    from hdstats_spark.kernels_np import discordance_batch
+
+    stack = X[:, None, :]
+    expect = hdo.discordance(stack, n=5)[:, 0]
+    # reproduce the reference's area low-pass (|ifft|) exactly as q_discordance does
+    curve = stack.mean(axis=(0, 1)).astype(np.float32)
+    Y = np.fft.fft(curve)
+    Y[5:] = 0.0
+    area_lp = np.abs(np.fft.ifft(Y)).astype(np.float32)
+    got = discordance_batch(X, area_lp, n=5)
+    npt.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
 def test_batch_handles_many_series():
     """Capacity sanity: 300 mixed-length series in one call, results equal
     serial on a sample.  (Throughput comparisons live in BENCH/: the batched

@@ -182,6 +182,57 @@ def test_symmetry_zero_for_constant(spark):
     assert abs(s) < 1e-5
 
 
+def test_fourier_batched_equals_per_group(dense):
+    """Series-table batched FFT path ≡ the per-group applyInPandas path
+    (which test_fourier_matches_oracle pins to the oracle)."""
+    from hdstats_spark.operators.series import fourier_features_batched, series_table
+
+    per_group = (
+        fourier_features(dense, "turn_rate", n=2, step=3).toPandas().set_index("conv_id")
+    )
+    st = series_table(dense, ["turn_rate"])
+    batched = (
+        fourier_features_batched(st, "turn_rate", n=2, step=3)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    cids = sorted(per_group.index)
+    cols = [f"{s}_{k}" for s in ("fmean", "fstd", "fmedian") for k in range(2)]
+    a = per_group.loc[cids, cols].to_numpy(np.float32)
+    b = batched.loc[cids, cols].to_numpy(np.float32)
+    npt.assert_allclose(b, a, rtol=1e-5, atol=1e-5, equal_nan=True)
+
+
+def test_discordance_batched_equals_per_group(dense):
+    import pandas as _pd
+
+    from hdstats_spark.operators.series import discordance_batched, series_table
+
+    area = (
+        dense.groupby("t")
+        .agg({"turn_rate": "avg"})
+        .withColumnRenamed("avg(turn_rate)", "mv")
+        .orderBy("t")
+        .toPandas()
+    )
+    curve = area["mv"].to_numpy(dtype=np.float32)
+    Y = np.fft.fft(curve)
+    Y[3:] = 0.0
+    area_lp = np.abs(np.fft.ifft(Y)).astype(np.float32)
+    per_group = discordance_agg(dense, "turn_rate", n=3).toPandas().set_index("conv_id")
+    st = series_table(dense, ["turn_rate"])
+    batched = (
+        discordance_batched(st, "turn_rate", area_lp, n=3).toPandas().set_index("conv_id")
+    )
+    cids = sorted(per_group.index)
+    npt.assert_allclose(
+        batched.loc[cids, "discordance"].to_numpy(np.float32),
+        per_group.loc[cids, "discordance"].to_numpy(np.float32),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
 def test_discordance_and_dtw(dense):
     # align on the bucket index; restrict to equal-length series for an exact
     # oracle comparison (the reference's stacks share one time axis)

@@ -52,6 +52,31 @@ def test_codec_roundtrip_spark(spark, transcripts):
     assert sizes["ts"] < sizes["n"] * 8 * 0.5  # ≥2× on the ts column
 
 
+def test_codec_roundtrip_flat_blocks(spark, transcripts):
+    """Flat multi-series block codec: bit-exact round-trip, no collect_list,
+    values encoded once per channel per Arrow batch (XOR chains run across
+    series boundaries losslessly)."""
+    from hdstats_spark.compression.tiercodec import compress_tier_flat, decompress_tier_flat
+
+    tier = rollup_raw(channelize(transcripts), "1m")
+    blocks = compress_tier_flat(tier, CHANNELS)
+    back = decompress_tier_flat(blocks, CHANNELS)
+    a = tier.orderBy("conv_id", "bucket").toPandas()
+    b = back.orderBy("conv_id", "bucket").toPandas()
+    assert len(a) == len(b)
+    assert (a.conv_id.values == b.conv_id.values).all()
+    assert (a.bucket.values == b.bucket.values).all()
+    for c in CHANNELS:
+        # flat path casts through float32 (same as series_table storage)
+        np.testing.assert_array_equal(
+            a[c].to_numpy(np.float64).astype(np.float32).astype(np.float64),
+            b[c].to_numpy(np.float64),
+        )
+    # block extents must cover every row exactly once
+    tot = blocks.selectExpr("sum(aggregate(ns, 0L, (acc, x) -> acc + x)) AS pts").collect()[0]
+    assert tot["pts"] == len(a)
+
+
 def test_pipeline_resume(spark, transcripts, tmp_path):
     root = str(tmp_path / "tiers")
     pipe = TierPipeline(spark, root)
