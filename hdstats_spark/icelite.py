@@ -26,8 +26,14 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed between manifest read and flip — the icelite
+    analogue of Iceberg's CommitFailedException (callers retry the merge)."""
 
 
 @dataclass
@@ -78,16 +84,41 @@ class IceliteTable:
                     out.append(Snapshot(**json.load(f)))
         return sorted(out, key=lambda s: s.committed_at)
 
-    def _commit(self, snap: Snapshot) -> Snapshot:
+    def _commit(self, snap: Snapshot, expected_parent: str | None) -> Snapshot:
+        """Optimistic-concurrency commit: flip `current` only while holding an
+        O_EXCL lock AND only if the live snapshot is still the parent this
+        commit was derived from (Iceberg's compare-and-swap on the metadata
+        pointer).  A lost race raises CommitConflict; append/overwrite retry
+        by re-reading the manifest and re-merging — data files are immutable
+        and already written, so the retry is metadata-only."""
         os.makedirs(self.meta_dir, exist_ok=True)
-        snap.committed_at = time.time()
-        with open(self._snapshot_path(snap.snapshot_id), "w") as f:
-            json.dump(snap.to_json(), f, indent=2, default=str)
-        tmp = os.path.join(self.meta_dir, f".current.{snap.snapshot_id}")
-        with open(tmp, "w") as f:
-            f.write(snap.snapshot_id)
-        os.replace(tmp, os.path.join(self.meta_dir, "current"))  # atomic flip
-        return snap
+        lock = os.path.join(self.meta_dir, ".commit.lock")
+        fd = None
+        for _ in range(4000):  # ~20 s worst-case wait on a stuck lock
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.005)
+        if fd is None:
+            raise TimeoutError(f"commit lock busy: {lock}")
+        try:
+            if self.current_snapshot_id() != expected_parent:
+                raise CommitConflict(
+                    f"expected parent {expected_parent!r}, found "
+                    f"{self.current_snapshot_id()!r}"
+                )
+            snap.committed_at = time.time()
+            with open(self._snapshot_path(snap.snapshot_id), "w") as f:
+                json.dump(snap.to_json(), f, indent=2, default=str)
+            tmp = os.path.join(self.meta_dir, f".current.{snap.snapshot_id}")
+            with open(tmp, "w") as f:
+                f.write(snap.snapshot_id)
+            os.replace(tmp, os.path.join(self.meta_dir, "current"))  # atomic flip
+            return snap
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     # ------------------------------------------------------------- write
 
@@ -136,7 +167,11 @@ class IceliteTable:
         for entry in os.listdir(commit_dir):
             if "=" not in entry:
                 continue
-            value = entry.split("=", 1)[1]
+            # Spark escapes special chars (space, ':', '%', …) in partition
+            # directory names; manifest keys carry the LOGICAL value so
+            # read(partitions=[...]) / committed_partitions() match what the
+            # caller wrote
+            value = unquote(entry.split("=", 1)[1])
             pdir = os.path.join(commit_dir, entry)
             part_files[value] = [
                 os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
@@ -160,25 +195,31 @@ class IceliteTable:
         self, df: DataFrame, partition_col: str | None = None, lineage: dict | None = None
     ) -> Snapshot:
         new = self._write_partition_files(df, partition_col)
-        prev = self.snapshot()
-        parts = dict(prev.partitions) if prev else {}
-        for value, m in new.items():
-            if value in parts:
-                parts[value] = {
-                    "files": parts[value]["files"] + m["files"],
-                    "rows": parts[value]["rows"] + m["rows"],
-                }
-            else:
-                parts[value] = m
-        return self._commit(
-            Snapshot(
-                snapshot_id=uuid.uuid4().hex[:16],
-                parent_id=prev.snapshot_id if prev else None,
-                operation="append",
-                partitions=parts,
-                lineage=lineage or {},
-            )
-        )
+        for _ in range(20):  # optimistic retry on concurrent commits
+            prev = self.snapshot()
+            parts = dict(prev.partitions) if prev else {}
+            for value, m in new.items():
+                if value in parts:
+                    parts[value] = {
+                        "files": parts[value]["files"] + m["files"],
+                        "rows": parts[value]["rows"] + m["rows"],
+                    }
+                else:
+                    parts[value] = m
+            try:
+                return self._commit(
+                    Snapshot(
+                        snapshot_id=uuid.uuid4().hex[:16],
+                        parent_id=prev.snapshot_id if prev else None,
+                        operation="append",
+                        partitions=parts,
+                        lineage=lineage or {},
+                    ),
+                    expected_parent=prev.snapshot_id if prev else None,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict("append lost 20 consecutive commit races")
 
     def overwrite_partitions(
         self,
@@ -190,18 +231,24 @@ class IceliteTable:
         """Idempotent re-roll: replace exactly the partitions present in df
         (late-data handling — SURVEY.md §2 streaming notes)."""
         new = self._write_partition_files(df, partition_col, cluster)
-        prev = self.snapshot()
-        parts = dict(prev.partitions) if prev else {}
-        parts.update(new)  # replaced partitions point at the new files only
-        return self._commit(
-            Snapshot(
-                snapshot_id=uuid.uuid4().hex[:16],
-                parent_id=prev.snapshot_id if prev else None,
-                operation="overwrite",
-                partitions=parts,
-                lineage=lineage or {},
-            )
-        )
+        for _ in range(20):
+            prev = self.snapshot()
+            parts = dict(prev.partitions) if prev else {}
+            parts.update(new)  # replaced partitions point at the new files only
+            try:
+                return self._commit(
+                    Snapshot(
+                        snapshot_id=uuid.uuid4().hex[:16],
+                        parent_id=prev.snapshot_id if prev else None,
+                        operation="overwrite",
+                        partitions=parts,
+                        lineage=lineage or {},
+                    ),
+                    expected_parent=prev.snapshot_id if prev else None,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict("overwrite lost 20 consecutive commit races")
 
     # ------------------------------------------------------------- read
 

@@ -52,6 +52,99 @@ def streaming_rollup_1m(transcripts_stream: DataFrame, watermark: str = "10 minu
     return agg.select("conv_id", F.col("w.start").alias("bucket"), *[c for c in agg.columns if c not in ("conv_id", "w")])
 
 
+def streaming_gapfill(
+    tier_stream: DataFrame,
+    channels,
+    step_seconds: int = 60,
+    key_col: str = "conv_id",
+    order_col: str = "bucket",
+) -> DataFrame:
+    """Stateful ONLINE gap-fill (SURVEY §2.10): the causal half of the
+    reference's ``completion`` (tsslow.py:11-17 forward-fill) as an
+    ``applyInPandasWithState`` operator.
+
+    Per conversation the state carries (last bucket, last channel vector);
+    each arriving tier row first emits LOCF rows for every missing bucket
+    since the last observation (is_gap=1), then the observation itself
+    (is_gap=0).  The non-causal half of completion (leading-hole backfill
+    with the series mean) needs the whole series and stays batch-only —
+    streamed output therefore equals batch densify+locf exactly, which is
+    what tests/test_streaming.py asserts.
+
+    Scale: state per series is one float vector (p≈8 doubles) + a long —
+    10^9 live conversations ≈ 100 GB of state across the cluster, well within
+    RocksDB state-store territory; the grouping key partitions state exactly
+    like every batch kernel (same conv_id hash)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    chans = list(channels)
+    out_schema = (
+        f"{key_col} string, {order_col} timestamp, is_gap int, "
+        + ", ".join(f"{c} double" for c in chans)
+    )
+    state_schema = "last_sec long, " + ", ".join(f"s_{c} double" for c in chans)
+
+    step = step_seconds
+
+    def fn(key, pdf_iter, state: GroupState):
+        conv = key[0]
+        if state.exists:
+            st = state.get
+            last_sec = st[0]
+            last_vals = np.asarray(st[1:], dtype=np.float64)
+        else:
+            last_sec, last_vals = None, None
+        out = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(order_col)
+            secs = (
+                pdf[order_col].to_numpy("datetime64[us]").astype("int64") // 1_000_000
+            )
+            vals = pdf[chans].to_numpy(dtype=np.float64)
+            if last_sec is None:
+                prev_secs = np.concatenate((secs[:1], secs[:-1]))
+                prev_vals = np.vstack((vals[:1], vals[:-1]))
+            else:
+                prev_secs = np.concatenate(([last_sec], secs[:-1]))
+                prev_vals = np.vstack((last_vals[None, :], vals[:-1]))
+            # vectorized LOCF gap expansion: row i owes (Δ/step − 1) gap rows
+            # carrying the PREVIOUS observation's values
+            n_gaps = np.maximum((secs - prev_secs) // step - 1, 0)
+            total = int(n_gaps.sum())
+            if total:
+                reps = np.repeat(np.arange(len(secs)), n_gaps)
+                starts = np.cumsum(n_gaps) - n_gaps
+                k = np.arange(total, dtype=np.int64) - np.repeat(starts, n_gaps) + 1
+                gap = {
+                    key_col: np.repeat(conv, total),
+                    order_col: pd.to_datetime(prev_secs[reps] + k * step, unit="s"),
+                    "is_gap": np.ones(total, dtype=np.int32),
+                }
+                gv = prev_vals[reps]
+                gap.update({c: gv[:, j] for j, c in enumerate(chans)})
+                out.append(pd.DataFrame(gap))
+            obs = {
+                key_col: np.repeat(conv, len(secs)),
+                order_col: pd.to_datetime(secs, unit="s"),
+                "is_gap": np.zeros(len(secs), dtype=np.int32),
+            }
+            obs.update({c: vals[:, j] for j, c in enumerate(chans)})
+            out.append(pd.DataFrame(obs))
+            last_sec, last_vals = int(secs[-1]), vals[-1]
+        if last_sec is not None:
+            state.update((last_sec, *[float(v) for v in last_vals]))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return tier_stream.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_dir: str, checkpoint: str, name: str = "tier_1m_stream",
     watermark: str = "10 minutes",

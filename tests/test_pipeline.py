@@ -33,6 +33,39 @@ def test_icelite_append_overwrite_timetravel(spark, tmp_path):
     assert len(t.snapshots()) == 3
 
 
+def test_icelite_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark path-escapes (space, ':') must round-trip
+    through the manifest and match caller-supplied filters."""
+    t = IceliteTable(str(tmp_path / "esc"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00"), (2, "a:b"), (3, "plain")], ["id", "day"]
+    )
+    t.append(df, "day")
+    assert t.committed_partitions() == {"2024-01-01 10:00", "a:b", "plain"}
+    got = t.read(spark, partitions=["2024-01-01 10:00"]).collect()
+    assert len(got) == 1 and got[0]["id"] == 1
+
+
+def test_icelite_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency: a commit derived from a stale parent must
+    raise, and the retry loop in append() must converge."""
+    from hdstats_spark.icelite import CommitConflict, Snapshot
+
+    t = IceliteTable(str(tmp_path / "cc"))
+    df = spark.createDataFrame([(1, "a")], ["id", "day"])
+    s1 = t.append(df, "day")
+    # stale-parent commit (simulates the loser of a two-writer race)
+    with pytest.raises(CommitConflict):
+        t._commit(
+            Snapshot("deadbeef", None, "append", {}),
+            expected_parent=None,  # stale: current is s1, not None
+        )
+    # a well-formed second append still works (lock released, retry path ok)
+    s2 = t.append(spark.createDataFrame([(2, "b")], ["id", "day"]), "day")
+    assert s2.parent_id == s1.snapshot_id
+    assert t.rows() == 2
+
+
 def test_codec_roundtrip_spark(spark, transcripts):
     tier = rollup_raw(channelize(transcripts), "1m")
     st = series_table(tier, CHANNELS)

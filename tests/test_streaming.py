@@ -53,3 +53,64 @@ def test_streaming_equals_batch(spark, transcripts, tmp_path):
     b = expect.sort_values(["conv_id", "bucket"]).reset_index(drop=True)
     b = b[a.columns]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_streaming_gapfill_equals_batch_locf(spark, transcripts, tmp_path):
+    """Stateful online gap-fill (applyInPandasWithState) ≡ batch densify+locf:
+    the causal half of the reference's completion, computed incrementally."""
+    from hdstats_spark.operators.gapfill import densify, locf
+    from hdstats_spark.streaming.stream import streaming_gapfill
+
+    tier = rollup_raw(channelize(transcripts), "1m").cache()
+    src = str(tmp_path / "tier_arrivals")
+    ckpt = str(tmp_path / "gf_ckpt")
+    tier.orderBy("bucket").coalesce(4).write.mode("overwrite").parquet(src)
+    parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    base = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_gapfill(stream, CHANNELS, step_seconds=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = (
+        spark.table("gf_stream")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        locf(densify(tier, "1m", CHANNELS), "bucket", CHANNELS)
+        .drop("t")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect), (len(got), len(expect))
+    assert (got.conv_id.values == expect.conv_id.values).all()
+    assert (got.bucket.values == expect.bucket.values).all()
+    for c in CHANNELS:
+        pd.testing.assert_series_equal(
+            got[c].astype("float64"), expect[c].astype("float64"), check_names=False
+        )
+    # gap rows are flagged and carry the previous observation
+    assert (got.is_gap.isin([0, 1])).all() and got.is_gap.sum() > 0
