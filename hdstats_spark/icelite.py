@@ -126,7 +126,10 @@ class IceliteTable:
         self, df: DataFrame, partition_col: str | None, cluster: str = "roundrobin"
     ) -> dict:
         """Write data files for this commit into a unique subdir and return
-        the partition manifest {value: {files, rows}}."""
+        the partition manifest {value: {files, rows}}.  Records a timing
+        breakdown in ``self.last_write_timings`` (spark write vs driver-side
+        footer/manifest work) for the scaling harness."""
+        t_start = time.time()
         commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
         if partition_col is None:
             df.write.mode("overwrite").parquet(commit_dir)
@@ -138,22 +141,27 @@ class IceliteTable:
             rows = df.sparkSession.read.parquet(commit_dir).count()
             return {"__all__": {"files": files, "rows": rows}}
         # write clustering tradeoff:
+        #   asis — NO extra exchange: write straight from the caller's
+        #     partitioning (the co-partitioned tier plan arrives hash-
+        #     clustered on conv_id with full parallelism — re-shuffling a
+        #     36M-row tier just to pick writers was the single biggest
+        #     avoidable data movement in the rollup phase).
         #   roundrobin — every core writes concurrently regardless of how few
         #     partition values exist (day-clustering caps writers at #days and
         #     hash collisions cut that further); cost: tasks×partitions files.
-        #     Right for BIG commits (raw, 1m).
         #   bypart — one file per partition value; right for SMALL commits
         #     (1h/1d) whose readers would otherwise face a tiny-file storm.
         parallelism = df.sparkSession.sparkContext.defaultParallelism
         if cluster == "bypart":
             df = df.repartition(parallelism, partition_col)
-        else:
+        elif cluster == "roundrobin":
             df = df.repartition(parallelism)
         (
             df.write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(commit_dir)
         )
+        t_written = time.time()
         # per-partition row counts from the parquet FOOTERS just written —
         # metadata-only reads, no extra Spark job, and the manifest still
         # reflects exactly what landed on disk; footer reads are I/O-bound,
@@ -189,6 +197,11 @@ class IceliteTable:
                 "files": [os.path.relpath(f, self.root) for f in fs],
                 "rows": int(sum(counts[f] for f in fs)),
             }
+        self.last_write_timings = {
+            "write_s": round(t_written - t_start, 2),
+            "manifest_s": round(time.time() - t_written, 2),
+            "n_files": len(all_files),
+        }
         return manifest
 
     def append(

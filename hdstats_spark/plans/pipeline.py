@@ -32,9 +32,24 @@ def _day(col):
 
 
 class TierPipeline:
-    def __init__(self, spark: SparkSession, root: str, raw_root: str | None = None):
+    """plan="copart" (default): hash-repartition raw on conv_id ONCE, then
+    every tier aggregate and every tier write runs exchange-free —
+    HashPartitioning(conv_id) satisfies ClusteredDistribution(conv_id,
+    bucket) for all three groupBys, and the writer takes the rows as-is.
+    One full-input shuffle total, instead of per-tier agg exchanges plus a
+    tier-size round-robin re-shuffle before each write.  plan="classic"
+    keeps the per-tier exchanges (for comparison in the scaling harness)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        raw_root: str | None = None,
+        plan: str = "copart",
+    ):
         self.spark = spark
         self.root = root
+        self.plan = plan
         self.tables = {
             name: IceliteTable(os.path.join(root, f"tier_{name}"))
             for name in ("raw", "1m", "1h", "1d")
@@ -117,11 +132,20 @@ class TierPipeline:
             else:
                 src = src_tbl.read(self.spark, partitions=sorted(todo))
             if tier == "1m":
+                if self.plan == "copart":
+                    n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                    src = src.repartition(n, "conv_id")
                 out = rollup_raw(src, "1m")
             else:
                 out = rollup_cascade(src.drop("day"), tier)
             out = out.withColumn("day", _day("bucket")).persist()
-            # big tier (1m) → parallel writers; small cascades → one file/day
+            if self.plan == "copart":
+                # rows arrive clustered on conv_id with full parallelism:
+                # write as-is (zero extra exchanges anywhere in the cascade)
+                cluster = "asis"
+            else:
+                # big tier (1m) → parallel writers; small cascades → 1 file/day
+                cluster = "roundrobin" if tier == "1m" else "bypart"
             snap = tbl.overwrite_partitions(
                 out,
                 "day",
@@ -130,7 +154,7 @@ class TierPipeline:
                     "parent_snapshot": src_tbl.current_snapshot_id(),
                     "partitions": sorted(todo),
                 },
-                cluster="roundrobin" if tier == "1m" else "bypart",
+                cluster=cluster,
             )
             computed[tier] = out
             computed_days[tier] = set(todo)
@@ -139,6 +163,7 @@ class TierPipeline:
                 "days": len(todo),
                 "rows": rows,
                 "elapsed_s": round(time.time() - tt0, 2),
+                **getattr(tbl, "last_write_timings", {}),
             }
         if with_composite:
             from ..operators.series import geomedian_mads_flat

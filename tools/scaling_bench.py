@@ -74,6 +74,12 @@ def _submit(cores: int, extra_args: list[str], tag: str, pin: bool = True) -> di
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=16m",
         "--conf", "spark.sql.adaptive.coalescePartitions.minPartitionSize=64k",
+        # the raw tier is ~31 × 28 MB files: the default 128 MB split packs
+        # the whole scan (which also does the shuffle write feeding the
+        # co-partitioned cascade) into ~7 tasks, starving every level above
+        # local[8]; 8 MB splits keep the scan stage wide at all levels
+        # (identical conf at every level — only --master differs)
+        "--conf", "spark.sql.files.maxPartitionBytes=8m",
         "--py-files", ",".join(_ZIPS),
         os.path.join(REPO, "jobs", "tier_job.py"),
         "--report", report,
@@ -109,7 +115,12 @@ def ingest_once(input_path: str) -> str:
 def run_level(cores: int, raw_root: str, run_id: str) -> dict:
     """The MEASURED phase: roll the shared raw tier into 1m/1h/1d."""
     root = os.path.join(WORK, f"tiers_{run_id}_{cores}")
-    shutil.rmtree(root, ignore_errors=True)
+    import glob as _glob
+
+    # --repeat writes to <root>_i{n}: clean those too, else a rerun with the
+    # same run id resumes fully-committed tiers and measures a no-op
+    for d in [root] + _glob.glob(root + "_i*"):
+        shutil.rmtree(d, ignore_errors=True)
     return _submit(
         cores,
         ["--root", root, "--raw-root", raw_root, "--phase", "rollup", "--repeat", "2"],
@@ -139,6 +150,8 @@ def main():
         for r in range(args.runs):
             m = run_level(cores, raw_root, f"r{r}")
             print(f"local[{cores}] run {r}: wall={m['wall_s']}s points/s={m['points_per_sec']}")
+            if not m.get("points_per_sec"):
+                raise RuntimeError(f"run measured no work (stale tier root?): {m}")
             if best is None or m["points_per_sec"] > best["points_per_sec"]:
                 best = m
         results[cores] = best
