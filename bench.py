@@ -53,6 +53,7 @@ HEADLINE = [
     "minhash_lsh",
     "simhash_dups",
     "knn_lsh",
+    "knn_ivf",
     "winnow_overlap",
     "compression_roundtrip",
 ]

@@ -1037,6 +1037,67 @@ def q_knn_lsh(spark, sf_dir):
     )
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN top-5 (k-means coarse quantizer + inverted-list equi-join +
+    exact re-rank) — the codebook-based scale path alongside LSH (rows-only;
+    recall vs brute force pytest-verified)."""
+    from .operators.simsearch import knn_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5),
+        topk=5, nlist=16, nprobe=12,
+    )
+
+
+def q_dtw_path(spark, sf_dir):
+    """Full DTW artifacts (dtw.pyx:89-121): banded DTW of each user's hourly
+    series vs the area median curve, returning the OPTIMAL WARP PATH as
+    (conv_id, step, i, j) rows plus the normalized distance — the
+    reference's third output, exposed relationally (rows-only; the DP/path
+    kernels are pytest-verified against the reference's exact goldens)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.series import series_table
+
+    dense, _ = _dense_event_series(spark, sf_dir)
+    ref = _area_median_curve(dense, "n_events")
+    st = series_table(dense, ["n_events"])
+    sc = spark.sparkContext
+    bref = sc.broadcast(ref)
+    st = st.repartition(sc.defaultParallelism)
+
+    def gen(batches):
+        from hdstats_oracle.dtw import local_dtw
+
+        rv = bref.value
+        for pdf in batches:
+            out = []
+            for cid, v, ln in zip(pdf["conv_id"], pdf["n_events"], pdf["n"]):
+                x = np.asarray(v[: int(ln)], dtype=np.float64).reshape(-1, 1)
+                a = rv[: int(ln)].reshape(-1, 1)
+                d, _D, path = local_dtw(a, x, window=8)
+                L = path.shape[1]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": np.repeat(cid, L),
+                            "step": np.arange(L, dtype=np.int32),
+                            "i": path[0].astype(np.int32),
+                            "j": path[1].astype(np.int32),
+                            "dtw_dist": np.float32(d),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return st.mapInPandas(
+        gen, "conv_id string, step int, i int, j int, dtw_dist float"
+    )
+
+
 def q_winnow_overlap(spark, sf_dir):
     """Winnowing fingerprint containment pairs (Schleimer et al. 2003);
     ubiquitous fingerprints (>50 docs — this synthetic corpus reuses a tiny
@@ -1155,6 +1216,8 @@ def queries():
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "dtw_path": q_dtw_path,
         "winnow_overlap": q_winnow_overlap,
         "multimodal_features": q_multimodal_features,
         "compression_roundtrip": q_compression_roundtrip,

@@ -101,6 +101,27 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.7, recall
 
 
+def test_knn_ivf_recall(spark):
+    from hdstats_spark.driver_queries import q_knn_cosine
+    from hdstats_spark.operators.simsearch import knn_ivf
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    exact = q_knn_cosine(spark, sf, k=5, n_queries=5).toPandas()
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    # random embeddings have near-uniform angles: probe half the lists
+    approx = knn_ivf(corpus, queries, topk=5, nlist=16, nprobe=12).toPandas()
+    truth = {(q, n) for q, n in zip(exact.query_id, exact.neighbor_id)}
+    got = {(q, n) for q, n in zip(approx.query_id, approx.neighbor_id)}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, recall
+    # determinism: seeded codebook → identical result on a second run
+    again = knn_ivf(corpus, queries, topk=5, nlist=16, nprobe=12).toPandas()
+    got2 = {(q, n) for q, n in zip(again.query_id, again.neighbor_id)}
+    assert got == got2
+
+
 def test_embedding_dedup_lsh_recall(spark):
     from hdstats_spark.driver_queries import q_embedding_dups
     from hdstats_spark.operators.dedup import dedup_embedding_lsh
