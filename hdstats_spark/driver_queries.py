@@ -875,11 +875,13 @@ def _dense_event_series(spark, sf_dir):
 
 def q_geomedian_mads(spark, sf_dir):
     """Flagship: nangeomedian_pcm + MAD trio as one batched continuous
-    aggregate (geomedian.pyx:472-517, geomad.pyx:200-350)."""
-    from .operators.series import geomedian_mads_batched, series_table
+    aggregate (geomedian.pyx:472-517, geomad.pyx:200-350) — the flat
+    zero-copy mapInArrow path (no collect_list; the composite-tier build
+    path at 10^6+ series, bit-identical to the series_table variant)."""
+    from .operators.series import geomedian_mads_flat
 
     dense, chans = _dense_event_series(spark, sf_dir)
-    return geomedian_mads_batched(series_table(dense, chans), chans)
+    return geomedian_mads_flat(dense, chans)
 
 
 def q_fourier_features(spark, sf_dir):

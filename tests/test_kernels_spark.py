@@ -182,6 +182,28 @@ def test_symmetry_zero_for_constant(spark):
     assert abs(s) < 1e-5
 
 
+def test_geomedian_flat_equals_series_table(dense):
+    """Flat mapInArrow path (sort-within-partitions + cross-batch group
+    stitching) ≡ the series_table path for the full gm+MAD output."""
+    from hdstats_spark.operators.series import (
+        geomedian_mads_batched,
+        geomedian_mads_flat,
+        series_table,
+    )
+
+    a = (
+        geomedian_mads_batched(series_table(dense, CHANNELS), CHANNELS)
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    b = geomedian_mads_flat(dense, CHANNELS).toPandas().set_index("conv_id").sort_index()
+    cols = ["n"] + [f"gm_{c}" for c in CHANNELS] + ["emad", "smad", "bcmad"]
+    npt.assert_array_equal(
+        a[cols].to_numpy(np.float64), b[cols].to_numpy(np.float64)
+    )
+
+
 def test_fourier_batched_equals_per_group(dense):
     """Series-table batched FFT path ≡ the per-group applyInPandas path
     (which test_fourier_matches_oracle pins to the oracle)."""

@@ -124,6 +124,21 @@ def test_geomedian_basic():
     assert np.all(np.abs(g) < 0.5)
 
 
+def test_geomedian_axis0_equals_transposed_axis1():
+    """Reference handles both axes (geomedian.pyx:379-395): axis=0 must equal
+    the axis=1 recursion on the transpose, for geomedian and nangeomedian."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(0.5, 0.2, size=(7, 12)).astype(np.float32)
+    npt.assert_array_equal(geomedian(X, axis=0), geomedian(X.T.copy(), axis=1))
+    Xn = X.copy()
+    Xn[2, 3] = np.nan  # NaN-aware path too
+    npt.assert_array_equal(nangeomedian(Xn, axis=0), nangeomedian(Xn.T.copy(), axis=1))
+    # shape contract: axis=0 reduces rows → one value per column
+    assert geomedian(X, axis=0).shape == (12,)
+    with pytest.raises(IndexError):
+        geomedian(X, axis=2)
+
+
 def test_nangeomedian_guards():
     X = np.full((4, 6), np.nan, dtype=np.float32)
     with pytest.raises(ValueError):

@@ -33,6 +33,18 @@ def test_icelite_append_overwrite_timetravel(spark, tmp_path):
     assert len(t.snapshots()) == 3
 
 
+def test_copart_cascade_single_exchange(spark, transcripts):
+    """The co-partitioned tier plan's contract: after ONE hash repartition on
+    conv_id, the whole 1m→1h→1d cascade plans with exactly one Exchange —
+    HashPartitioning(conv_id) satisfies every tier's grouping distribution."""
+    from hdstats_spark.operators.rollup import rollup_cascade
+
+    src = channelize(transcripts).repartition(8, "conv_id")
+    t1d = rollup_cascade(rollup_cascade(rollup_raw(src, "1m"), "1h"), "1d")
+    plan = t1d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_icelite_escaped_partition_values(spark, tmp_path):
     """Partition values Spark path-escapes (space, ':') must round-trip
     through the manifest and match caller-supplied filters."""
