@@ -945,6 +945,57 @@ def q_dtw_area(spark, sf_dir):
     return dtw_area_batched(st, "n_events", ref, window=8)
 
 
+def q_area_l1_to_median(spark, sf_dir):
+    """Reference area_warp_similarity's collapsed semantics (ts.pyx:246-256:
+    series and area-median enter DTW as single n-dim points → L1/2) computed
+    relationally in double precision — the DuckDB-hash-green evidence for the
+    area-warp math (the float32 kernel variant is q_area_warp, pytest-pinned
+    to the oracle)."""
+    dense, _ = _dense_event_series(spark, sf_dir)
+    med = dense.groupBy("t").agg(
+        F.expr("percentile(cast(n_events as double), 0.5)").alias("mv")
+    )
+    j = dense.select("conv_id", "t", F.col("n_events").cast("double").alias("v")).join(
+        F.broadcast(med), "t"
+    )
+    return (
+        j.groupBy(F.col("conv_id").alias("user_id"))
+        .agg(_r6(F.sum(F.abs(F.col("mv") - F.col("v"))) / 2).alias("area_l1"))
+    )
+
+
+SQL_AREA_L1_TO_MEDIAN = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, b0, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), d AS (
+  SELECT g.user_id, g.bucket,
+         CAST(epoch(g.bucket - g.b0) / 3600 AS INT) AS t, b.n_events
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+), ff AS (
+  SELECT user_id, bucket, t,
+         last_value(n_events IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1
+  FROM d
+), comp AS (
+  SELECT user_id, t, coalesce(f1, avg(f1) OVER (PARTITION BY user_id)) AS v
+  FROM ff
+), med AS (
+  SELECT t, median(v) AS mv FROM comp GROUP BY t
+)
+SELECT CAST(comp.user_id AS VARCHAR) AS user_id,
+       round(sum(abs(med.mv - comp.v)) / 2, 6) AS area_l1
+FROM comp JOIN med USING (t) GROUP BY comp.user_id
+"""
+
+
 def q_number_peaks(spark, sf_dir):
     """CWT peak count of each user's hourly event-rate series
     (ts.pyx:222-228, scipy-free ridge-line re-derivation)."""
@@ -1212,6 +1263,7 @@ def queries():
         "discordance": q_discordance,
         "dtw_area": q_dtw_area,
         "area_warp": q_area_warp,
+        "area_l1_to_median": q_area_l1_to_median,
         "number_peaks": q_number_peaks,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
@@ -1251,6 +1303,7 @@ def oracles():
         "embedding_dups": _sql_embedding_dups(),
         "dist_to_centroid": _sql_dist_to_centroid(),
         "geomedian_1d": SQL_GEOMEDIAN_1D,
+        "area_l1_to_median": SQL_AREA_L1_TO_MEDIAN,
         "ngram_jaccard": _sql_ngram_jaccard(),
         "multimodal_features": _sql_multimodal_features(),
     }

@@ -150,11 +150,43 @@ def run_stream_to_memory(
     watermark: str = "10 minutes",
 ):
     """Drive the streaming rollup into an in-memory sink (tests / demos);
-    production swaps the sink for an Iceberg/parquet append."""
+    production uses run_stream_to_icelite (per-micro-batch tier commits)."""
     out = streaming_rollup_1m(stream_transcripts_from_dir(spark, src_dir), watermark)
     return (
         out.writeStream.format("memory")
         .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def run_stream_to_icelite(
+    spark: SparkSession, src_dir: str, checkpoint: str, table_root: str,
+    watermark: str = "10 minutes",
+):
+    """Production sink shape: each micro-batch of finalized 1m buckets is an
+    icelite APPEND commit carrying the micro-batch id as lineage — the
+    streaming half of the checkpoint/lineage contract (exactly-once up to
+    foreachBatch reprocessing; the batch engine's reroll path reconciles
+    replays, and appends within one stream are idempotent per restart
+    because the streaming checkpoint gates batch ids)."""
+    from ..icelite import IceliteTable
+
+    tbl = IceliteTable(table_root)
+    out = streaming_rollup_1m(stream_transcripts_from_dir(spark, src_dir), watermark)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        tbl.append(
+            batch_df.withColumn("day", F.date_format("bucket", "yyyy-MM-dd")),
+            "day",
+            lineage={"micro_batch": int(batch_id), "source": src_dir},
+        )
+
+    return (
+        out.writeStream.foreachBatch(sink)
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .start()

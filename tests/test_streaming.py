@@ -55,6 +55,44 @@ def test_streaming_equals_batch(spark, transcripts, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_streaming_to_icelite_commits(spark, transcripts, tmp_path):
+    """foreachBatch → icelite: streamed finalized buckets land as per-micro-
+    batch snapshot commits with lineage, and equal the batch rollup."""
+    from hdstats_spark.icelite import IceliteTable
+    from hdstats_spark.streaming.stream import run_stream_to_icelite
+
+    src = str(tmp_path / "arrivals_ice")
+    ckpt = str(tmp_path / "ckpt_ice")
+    root = str(tmp_path / "tier_1m_stream")
+    transcripts.orderBy("ts").coalesce(4).write.mode("overwrite").parquet(src)
+    parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    base = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    q = run_stream_to_icelite(spark, src, ckpt, root, watermark="0 seconds")
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    tbl = IceliteTable(root)
+    snaps = tbl.snapshots()
+    assert snaps and all("micro_batch" in s.lineage for s in snaps)
+    got = tbl.read(spark).drop("day").toPandas()
+    expect = rollup_raw(channelize(transcripts), "1m").toPandas()
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    expect = expect[expect.bucket + pd.Timedelta(minutes=1) <= max_ts]
+    got = got[got.bucket + pd.Timedelta(minutes=1) <= max_ts]
+    a = got.sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    b = expect.sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
+
+
 def test_streaming_gapfill_equals_batch_locf(spark, transcripts, tmp_path):
     """Stateful online gap-fill (applyInPandasWithState) ≡ batch densify+locf:
     the causal half of the reference's completion, computed incrementally."""
