@@ -37,14 +37,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from hdstats_spark.driver_queries import _event_buckets
     from hdstats_spark.operators.gapfill import completion, densify
-    from hdstats_spark.operators.series import geomedian_mads_batched, series_table
+    from hdstats_spark.operators.series import geomedian_mads_flat
 
     sf_dir = "/root/testdata/sf0.001"
     channels = ["cnt_click", "cnt_view", "cnt_purchase", "cnt_signup", "cnt_error", "v_sum", "v_max", "n_events"]
     tier = _event_buckets(spark, sf_dir, "hour").withColumnRenamed("user_id", "conv_id")
     tier = tier.withColumn("conv_id", F.col("conv_id").cast("string"))
     dense = completion(densify(tier, "1h", channels), channels)
-    return geomedian_mads_batched(series_table(dense, channels), channels)
+    # flat zero-copy mapInArrow path — the composite-tier build path at scale
+    # (bit-identical to the series_table variant, test_kernels_spark)
+    return geomedian_mads_flat(dense, channels)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

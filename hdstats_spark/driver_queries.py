@@ -140,6 +140,31 @@ FROM events GROUP BY 1, 2
 
 # ---------------------------------------------------------------- gap-fill
 
+def q_derived_measures(spark, sf_dir):
+    """Query-time derived measures recomputed from tier sums (rollup.py
+    with_derived semantics: means/rates are never stored, always derived):
+    events-per-minute rate and value-per-event over the hourly tier."""
+    b = _event_buckets(spark, sf_dir, "hour")
+    return b.select(
+        "user_id",
+        "bucket",
+        _r6(F.col("n_events") / F.lit(60.0)).alias("events_per_min"),
+        _r6(F.try_divide(F.col("v_sum"), F.col("n_events"))).alias("value_per_event"),
+        _r6(F.try_divide(F.col("cnt_error").cast("double"), F.col("n_events"))).alias("error_rate"),
+    )
+
+
+def _sql_derived_measures():
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')})
+SELECT user_id, bucket,
+       round(n_events / 60.0, 6) AS events_per_min,
+       round(v_sum / nullif(n_events, 0), 6) AS value_per_event,
+       round(CAST(cnt_error AS DOUBLE) / nullif(n_events, 0), 6) AS error_rate
+FROM b
+"""
+
+
 def q_gapfill_locf(spark, sf_dir):
     """Forward-fill of a sparsified measure (completion phase 1,
     tsslow.py:11-17): 'error' rows carry no value."""
@@ -1216,16 +1241,49 @@ def q_compression_roundtrip(spark, sf_dir):
     """Gorilla/delta-of-delta round-trip through Spark: compress the per-user
     hourly tier to multi-series blocks (flat path — no collect_list, one
     vectorized encode per channel per Arrow batch), decompress, return
-    per-user checksums (rows-only; bit-exactness pytest-verified)."""
+    per-user checksums.  Because the codec is lossless over the float32-cast
+    tier values, the checksums equal a direct SQL computation over the dense
+    completed tier — so this row is DuckDB-hash-checked (the bit-level
+    round-trip is additionally pytest- and hypothesis-verified)."""
     from .compression.tiercodec import compress_tier_flat, decompress_tier_flat
 
     tier, chans = _dense_event_series(spark, sf_dir)
     blocks = compress_tier_flat(tier, chans)
     back = decompress_tier_flat(blocks, chans)
-    return back.groupBy("conv_id").agg(
+    return back.groupBy(F.col("conv_id").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.sum("v_sum"), 4).alias("v_sum_total"),
+        F.round(F.sum("v_sum"), 2).alias("v_sum_total"),
     )
+
+
+SQL_COMPRESSION_ROUNDTRIP = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, sum(value) AS v_sum
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), d AS (
+  SELECT g.user_id, g.bucket, b.v_sum
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+), ff AS (
+  SELECT user_id, bucket,
+         last_value(v_sum IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1
+  FROM ff_src
+), comp AS (
+  SELECT user_id,
+         CAST(CAST(coalesce(f1, avg(f1) OVER (PARTITION BY user_id)) AS REAL) AS DOUBLE) AS v
+  FROM ff
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(v), 2) AS v_sum_total
+FROM comp GROUP BY user_id
+""".replace("ff_src", "d")
 
 
 # ---------------------------------------------------------------- registry
@@ -1235,6 +1293,7 @@ def queries():
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
+        "derived_measures": q_derived_measures,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_completion": q_gapfill_completion,
         "change_features": q_change_features,
@@ -1283,6 +1342,7 @@ def oracles():
         "rollup_1m": SQL_ROLLUP_1M,
         "rollup_1h_cascade": _sql_rollup_direct("hour"),
         "rollup_1d_cascade": _sql_rollup_direct("day"),
+        "derived_measures": _sql_derived_measures(),
         "gapfill_locf": SQL_GAPFILL_LOCF,
         "gapfill_completion": SQL_GAPFILL_COMPLETION,
         "change_features": SQL_CHANGE_FEATURES,
@@ -1306,4 +1366,5 @@ def oracles():
         "area_l1_to_median": SQL_AREA_L1_TO_MEDIAN,
         "ngram_jaccard": _sql_ngram_jaccard(),
         "multimodal_features": _sql_multimodal_features(),
+        "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,
     }
