@@ -23,6 +23,7 @@ HEADLINE = [
     "rollup_1m",
     "rollup_1h_cascade",
     "rollup_1d_cascade",
+    "derived_measures",
     "gapfill_completion",
     "change_features",
     "complexity",
@@ -45,6 +46,7 @@ HEADLINE = [
     "discordance",
     "dtw_area",
     "area_warp",
+    "area_l1_to_median",
     "multimodal_features",
     # re-admitted with the max_doc_freq=200 hot-shingle cap: the synthetic
     # 30-word vocabulary makes every bigram hot at sf0.1, and the cap bounds
