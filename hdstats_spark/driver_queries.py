@@ -1179,11 +1179,59 @@ def q_dtw_path(spark, sf_dir):
 def q_winnow_overlap(spark, sf_dir):
     """Winnowing fingerprint containment pairs (Schleimer et al. 2003);
     ubiquitous fingerprints (>50 docs — this synthetic corpus reuses a tiny
-    vocabulary) are dropped before the self-join."""
+    vocabulary) are dropped before the self-join.  DuckDB-hash-checked: the
+    polynomial k-gram hash (mod 2^31−1 over ASCII bytes) is replicated in
+    SQL, and the winnowed fingerprint SET equals the distinct window-min
+    values (the rightmost-min tie-break picks a position, not a value)."""
     from .operators.textstats import fingerprint_overlap_pairs
 
     d = _t(spark, sf_dir, "documents")
     return fingerprint_overlap_pairs(d, threshold=0.3, max_doc_freq=50)
+
+
+def _sql_winnow_overlap(k=8, w=4, threshold=0.3, max_doc_freq=50):
+    m31 = (1 << 31) - 1
+    powers = [pow(257, k - 1 - j, m31) for j in range(k)]
+    hash_expr = " + ".join(
+        f"CAST(ascii(substr(text, CAST(i + {j} AS INT), 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(powers)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+), g AS (
+  SELECT doc_id, text, i
+  FROM t, unnest(range(1, L - {k} + 2)) AS u(i)
+  WHERE L >= {k}
+), h AS (
+  SELECT doc_id, i, ({hash_expr}) % {m31} AS hv
+  FROM g
+), wm AS (
+  SELECT doc_id,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wmin,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM h
+), fp AS (
+  SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm WHERE rn >= least({w}, nh)
+), hot AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) > {max_doc_freq}
+), fp2 AS (
+  SELECT fp.* FROM fp ANTI JOIN hot USING (fingerprint)
+), sz AS (
+  SELECT doc_id, count(*) AS s FROM fp2 GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM fp2 a JOIN fp2 b USING (fingerprint)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / least(sa.s, sb.s), 6) AS containment
+FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE round(common * 1.0 / least(sa.s, sb.s), 6) >= {threshold}
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1367,4 +1415,5 @@ def oracles():
         "ngram_jaccard": _sql_ngram_jaccard(),
         "multimodal_features": _sql_multimodal_features(),
         "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,
+        "winnow_overlap": _sql_winnow_overlap(),
     }
