@@ -869,10 +869,10 @@ def q_symmetry(spark, sf_dir):
     series' time-mean channel vector and its geomedian composite (rows-only;
     the gm is non-SQL-expressible)."""
     from .operators.kernels import symmetry_agg
-    from .operators.series import geomedian_mads_batched, series_table
+    from .operators.series import geomedian_mads_flat
 
     dense, chans = _dense_event_series(spark, sf_dir)
-    gm = geomedian_mads_batched(series_table(dense, chans), chans, with_mads=False)
+    gm = geomedian_mads_flat(dense, chans, with_mads=False)
     return symmetry_agg(dense, gm.drop("n"), chans)
 
 
