@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.series import key_change_mask
 from ..schema import CHANNELS
 from .gorilla import (
     decode_dod_timestamps,
@@ -43,9 +44,11 @@ def compress_tier(series_df: DataFrame, channels: Sequence[str] = CHANNELS) -> D
             out = {
                 "conv_id": pdf["conv_id"],
                 "n": pdf["n"].astype("int32"),
+                # microsecond epoch: lossless for sub-second timestamps (the
+                # old //1_000_000 silently truncated them)
                 "ts_blob": [
                     encode_dod_timestamps(
-                        np.asarray(b, dtype="datetime64[us]").astype("int64") // 1_000_000
+                        np.asarray(b, dtype="datetime64[us]").astype("int64")
                     )
                     for b in pdf["buckets"]
                 ],
@@ -89,12 +92,13 @@ def compress_tier_flat(
     prepared = (
         tier_df.select(
             key_col,
-            F.xxhash64(key_col).alias("_gk"),
-            F.unix_timestamp(F.col(order_col)).alias("_ts_s"),
+            # microsecond epoch (unix_micros) — lossless for sub-second
+            # buckets and timezone-unambiguous on both sides
+            F.unix_micros(F.col(order_col)).alias("_ts_us"),
             *[F.col(c).cast("float").cast("double").alias(c) for c in chans],
         )
         .repartition(par, key_col)
-        .sortWithinPartitions(key_col, "_ts_s")
+        .sortWithinPartitions(key_col, "_ts_us")
     )
 
     def gen(batches):
@@ -105,11 +109,12 @@ def compress_tier_flat(
                 continue
             names = rb.schema.names
             ids = rb.column(names.index(key_col))
-            gk = rb.column(names.index("_gk")).to_numpy().astype(np.int64)
-            ts = rb.column(names.index("_ts_s")).to_numpy().astype(np.int64)
-            bounds = np.nonzero(gk[1:] != gk[:-1])[0] + 1
+            ts = rb.column(names.index("_ts_us")).to_numpy().astype(np.int64)
+            # exact boundaries from the key values themselves (Arrow C++
+            # compare) — a hash proxy could fuse two colliding adjacent series
+            bounds = np.nonzero(key_change_mask(ids))[0] + 1
             starts = np.concatenate(([0], bounds))
-            ns = np.diff(np.concatenate((starts, [len(gk)]))).astype(np.int32)
+            ns = np.diff(np.concatenate((starts, [rb.num_rows]))).astype(np.int32)
             out = {
                 "conv_ids": pa.array([ids.take(pa.array(starts)).to_pylist()]),
                 "ns": pa.array([ns]),
@@ -140,7 +145,9 @@ def decompress_tier_flat(
                         np.asarray(pdf["conv_ids"].iloc[i], dtype=object),
                         np.asarray(pdf["ns"].iloc[i], dtype=np.int64),
                     ),
-                    "bucket": pd.to_datetime(ts, unit="s"),
+                    # utc=True: tz-aware datetimes are unambiguous through
+                    # Arrow regardless of spark.sql.session.timeZone
+                    "bucket": pd.to_datetime(ts, unit="us", utc=True),
                 }
                 for c in chans:
                     out[c] = decode_xor_floats(pdf[f"{c}_blob"].iloc[i])
@@ -169,7 +176,7 @@ def decompress_tier(blocks_df: DataFrame, channels: Sequence[str] = CHANNELS) ->
                 continue
             out = {
                 "conv_id": np.concatenate(ids),
-                "bucket": pd.to_datetime(np.concatenate(buckets), unit="s"),
+                "bucket": pd.to_datetime(np.concatenate(buckets), unit="us", utc=True),
             }
             for c in chans:
                 out[c] = np.concatenate(vals[c])

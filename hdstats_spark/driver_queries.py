@@ -635,15 +635,28 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
 
 # ---------------------------------------------------------------- embeddings: similarity search
 
-def _collect_embeddings(spark, sf_dir, predicate=None):
+def _collect_embeddings(spark, sf_dir, predicate=None, max_rows=1_000_000):
     """Small-side embedding matrix for broadcasting (ids, float64 matrix,
     norms).  At 100 TB the small side is the query/codebook table; the
-    corpus always stays distributed."""
+    corpus always stays distributed.
+
+    Hard guard: collecting is only legitimate for BOUNDED reference sets
+    (query batches, codebooks, oracle fixtures).  A corpus larger than
+    ``max_rows`` raises instead of OOMing the driver — use the bucketed
+    ``operators.dedup.dedup_embedding_lsh`` / ``operators.simsearch`` paths
+    for unbounded corpora."""
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if predicate is not None:
         e = e.filter(predicate)
+    n = e.count()  # metadata-cheap on parquet; guards the toPandas below
+    if n > max_rows:
+        raise ValueError(
+            f"refusing to collect {n} embeddings to the driver (max_rows="
+            f"{max_rows}); use dedup_embedding_lsh / knn_lsh / knn_ivf for "
+            "unbounded corpora"
+        )
     pdf = e.toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)

@@ -50,6 +50,10 @@ class Snapshot:
 
 
 class IceliteTable:
+    # commits hold the lock for milliseconds; a lock this old means the
+    # holder died mid-commit and the file is safe to reclaim
+    LOCK_STALE_S = 30.0
+
     def __init__(self, root: str):
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
@@ -94,11 +98,25 @@ class IceliteTable:
         os.makedirs(self.meta_dir, exist_ok=True)
         lock = os.path.join(self.meta_dir, ".commit.lock")
         fd = None
-        for _ in range(4000):  # ~20 s worst-case wait on a stuck lock
+        for _ in range(4000):  # ~20 s worst-case wait on a live lock
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # holder identity for post-mortems; reclamation keys off mtime
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
                 break
             except FileExistsError:
+                # stale-lock reclamation: a writer that crashed between
+                # os.open(O_EXCL) and os.unlink would otherwise wedge every
+                # future commit.  Commits hold the lock for milliseconds
+                # (metadata-only), so a lock older than LOCK_STALE_S seconds
+                # is dead — remove it and retry.  Two reclaimers racing on the
+                # unlink is benign (FileNotFoundError → retry the open).
+                try:
+                    if time.time() - os.stat(lock).st_mtime > self.LOCK_STALE_S:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
                 time.sleep(0.005)
         if fd is None:
             raise TimeoutError(f"commit lock busy: {lock}")
@@ -133,12 +151,18 @@ class IceliteTable:
         commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
         if partition_col is None:
             df.write.mode("overwrite").parquet(commit_dir)
-            files = [
-                os.path.relpath(os.path.join(commit_dir, name), self.root)
+            import pyarrow.parquet as pq
+
+            paths = [
+                os.path.join(commit_dir, name)
                 for name in os.listdir(commit_dir)
                 if name.endswith(".parquet")
             ]
-            rows = df.sparkSession.read.parquet(commit_dir).count()
+            # row counts from the parquet FOOTERS just written — metadata-only
+            # reads, no second Spark scan of fresh data (the partitioned path
+            # below already proved footers suffice)
+            rows = int(sum(pq.ParquetFile(p).metadata.num_rows for p in paths))
+            files = [os.path.relpath(p, self.root) for p in paths]
             return {"__all__": {"files": files, "rows": rows}}
         # write clustering tradeoff:
         #   asis — NO extra exchange: write straight from the caller's

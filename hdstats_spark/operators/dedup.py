@@ -81,9 +81,12 @@ def shingle_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # no broadcast hint: `sizes` has one row per document, so a forced
+    # broadcast grows linearly with the corpus (multi-GB at 10^9 docs). AQE
+    # still picks a broadcast join at runtime when the side is actually small.
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

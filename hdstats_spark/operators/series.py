@@ -36,6 +36,26 @@ from ..schema import CHANNELS
 _CELL_BUDGET = 16_000_000  # f32 cells per padded tensor chunk (~64 MB)
 
 
+def key_change_mask(ids) -> np.ndarray:
+    """Exact adjacent-inequality mask over a sorted Arrow key column.
+
+    ``mask[i]`` is True iff ``ids[i+1] != ids[i]`` — computed with Arrow's
+    vectorized C++ bytewise compare of the array against its own 1-shifted
+    slice.  This replaces the earlier xxhash64 proxy: a 64-bit hash of the key
+    can collide between two *different* adjacent keys and silently fuse two
+    series into one (birthday bound ~3% somewhere at 10^9 series); comparing
+    the key bytes themselves cannot.
+    """
+    import pyarrow.compute as pc
+
+    n = len(ids)
+    if n <= 1:
+        return np.zeros(0, dtype=bool)
+    return pc.not_equal(ids.slice(1), ids.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    ).astype(bool)
+
+
 def series_table(
     tier_df: DataFrame,
     channels: Sequence[str] = CHANNELS,
@@ -280,12 +300,13 @@ def geomedian_mads_flat(
     ``series_table`` (collect_list of structs) costs ~20 JVM core-seconds per
     million rows in object churn; this variant instead hash-partitions by the
     series key, sorts within partitions (Tungsten binary sort), and streams
-    flat Arrow batches into Python.  Group boundaries are detected with a
-    JVM-computed xxhash64 of the key (int compares, no string objects);
-    groups split across Arrow batch boundaries are stitched by carrying the
-    trailing partial group — batches of one partition arrive in order in a
-    single mapInArrow iterator, and hash partitioning keeps each series in
-    exactly one partition.
+    flat Arrow batches into Python.  Group boundaries come from an exact
+    Arrow-vectorized compare of adjacent key values (``key_change_mask`` — no
+    hash proxy, so colliding keys can never fuse two series); groups split
+    across Arrow batch boundaries are stitched by carrying the trailing
+    partial group — batches of one partition arrive in order in a single
+    mapInArrow iterator, and hash partitioning keeps each series in exactly
+    one partition.
     """
     import pyarrow as pa
 
@@ -300,7 +321,6 @@ def geomedian_mads_flat(
     prepared = (
         tier_df.select(
             key_col,
-            F.xxhash64(key_col).alias("_gk"),
             order_col,
             *[F.col(c).cast("float").alias(c) for c in chans],
         )
@@ -309,13 +329,14 @@ def geomedian_mads_flat(
     )
 
     def gen(batches):
-        carry = None  # trailing partial group: dict of numpy arrays
+        carry = None  # trailing partial group: dict of arrays
 
-        def process(ids, gk, cols):
-            """Complete groups only: caller guarantees the last group ends."""
-            bounds = np.nonzero(gk[1:] != gk[:-1])[0] + 1
+        def process(ids, neq, cols):
+            """Complete groups only: caller guarantees the last group ends.
+            ``neq`` is key_change_mask(ids) (len(ids)-1 adjacent compares)."""
+            bounds = np.nonzero(neq)[0] + 1
             starts = np.concatenate(([0], bounds))
-            lens_all = np.diff(np.concatenate((starts, [len(gk)])))
+            lens_all = np.diff(np.concatenate((starts, [len(ids)])))
             first_idx = starts
             out_batches = []
             for idx in _chunks_by_cells(lens_all, len(chans)):
@@ -348,31 +369,30 @@ def geomedian_mads_flat(
                 continue
             names = rb.schema.names
             ids = rb.column(names.index(key_col))
-            gk = rb.column(names.index("_gk")).to_numpy().astype(np.int64)
             cols = [
                 rb.column(names.index(c)).to_numpy(zero_copy_only=False) for c in chans
             ]
             if carry is not None:
                 ids = pa.concat_arrays([carry["ids"], ids])
-                gk = np.concatenate((carry["gk"], gk))
                 cols = [np.concatenate((cv, c)) for cv, c in zip(carry["cols"], cols)]
+            neq = key_change_mask(ids)
             # split off the trailing group (it may continue in the next batch)
-            last_gk = gk[-1]
-            if (gk != last_gk).any():
-                tail_start = len(gk) - int((gk[::-1] != last_gk).argmax())
-            else:
-                tail_start = 0  # whole batch is one group — carry it all
+            changes = np.nonzero(neq)[0]
+            tail_start = int(changes[-1]) + 1 if changes.size else 0
             carry = {
                 "ids": ids.slice(tail_start),
-                "gk": gk[tail_start:],
                 "cols": [c[tail_start:] for c in cols],
             }
             if tail_start > 0:
                 yield from process(
-                    ids.slice(0, tail_start), gk[:tail_start], [c[:tail_start] for c in cols]
+                    ids.slice(0, tail_start),
+                    neq[: tail_start - 1],
+                    [c[:tail_start] for c in cols],
                 )
-        if carry is not None and len(carry["gk"]):
-            yield from process(carry["ids"], carry["gk"], carry["cols"])
+        if carry is not None and len(carry["cols"][0]):
+            yield from process(
+                carry["ids"], key_change_mask(carry["ids"]), carry["cols"]
+            )
 
     return prepared.mapInArrow(gen, schema)
 

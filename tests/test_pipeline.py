@@ -78,6 +78,34 @@ def test_icelite_commit_conflict(spark, tmp_path):
     assert t.rows() == 2
 
 
+def test_icelite_stale_lock_reclaimed(spark, tmp_path, monkeypatch):
+    """A lock orphaned by a crashed writer (present, older than LOCK_STALE_S)
+    must be reclaimed instead of wedging every future commit; a FRESH lock
+    must still block and time out."""
+    import os
+    import time
+
+    t = IceliteTable(str(tmp_path / "stale"))
+    df = spark.createDataFrame([(1, "a")], ["id", "day"])
+    s1 = t.append(df, "day")
+    lock = os.path.join(t.meta_dir, ".commit.lock")
+    # orphaned lock: simulate a writer that died mid-commit 60s ago
+    with open(lock, "w") as f:
+        f.write("dead 0")
+    os.utime(lock, (time.time() - 60, time.time() - 60))
+    s2 = t.append(spark.createDataFrame([(2, "b")], ["id", "day"]), "day")
+    assert s2.parent_id == s1.snapshot_id and t.rows() == 2
+    assert not os.path.exists(lock)
+    # fresh lock: a live writer's lock must NOT be stolen
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()} {time.time()}")
+    monkeypatch.setattr(IceliteTable, "LOCK_STALE_S", 9999.0)
+    monkeypatch.setattr("hdstats_spark.icelite.time.sleep", lambda s: None)
+    with pytest.raises(TimeoutError):
+        t.append(spark.createDataFrame([(3, "c")], ["id", "day"]), "day")
+    os.unlink(lock)
+
+
 def test_codec_roundtrip_spark(spark, transcripts):
     tier = rollup_raw(channelize(transcripts), "1m")
     st = series_table(tier, CHANNELS)
