@@ -58,6 +58,11 @@ HEADLINE = [
     "knn_ivf",
     "winnow_overlap",
     "compression_roundtrip",
+    # admitted once their kernels went batched: dtw_path's DP+backtrack is
+    # one vectorized pass per length-class; number_peaks stays per-series
+    # (ridge linkage is sequential) but spreads round-robin across cores
+    "dtw_path",
+    "number_peaks",
 ]
 
 

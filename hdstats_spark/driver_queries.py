@@ -1034,6 +1034,112 @@ FROM comp JOIN med USING (t) GROUP BY comp.user_id
 """
 
 
+def q_dtw_diag(spark, sf_dir):
+    """Banded DTW with window=0 — the band pins the warp to the diagonal
+    (dtw.pyx:35-53 with w=0), so dist = Σᵢ|xᵢ−refᵢ| / (r+c): fully
+    SQL-expressible, yet the Spark side runs the REAL wavefront DP kernel
+    end-to-end (dtw_dist_batch, window=0) — the DuckDB-hash-green evidence
+    for the banded DTW path.
+
+    Exactness: the grid is the zero-filled (not completion-filled) per-user
+    hourly event-count series, so every value is an integer and the per-t
+    median across users is a multiple of 0.5; float32 partial sums of halves
+    are exact below 2²³, and un-normalizing (×2n, snap to halves) removes the
+    one inexact f32 division."""
+    from .operators.gapfill import densify
+    from .operators.series import dtw_area_batched, series_table
+
+    tier = (
+        _event_buckets(spark, sf_dir, "hour")
+        .withColumn("conv_id", F.col("user_id").cast("string"))
+        .drop("user_id")
+    )
+    dense0 = densify(tier, "1h", ["n_events"]).withColumn(
+        "n_events", F.coalesce(F.col("n_events").cast("double"), F.lit(0.0))
+    )
+    ref = _area_median_curve(dense0, "n_events")
+    st = series_table(dense0, ["n_events"]).cache()
+    d = dtw_area_batched(st, "n_events", ref, window=0)
+    lens = st.select(F.col("conv_id"), F.col("n"))
+    return (
+        d.join(lens, "conv_id")
+        .select(
+            F.col("conv_id").alias("user_id"),
+            # dist·2n is an exact multiple of 0.5; snap away the f32 division
+            (F.round(F.col("dtw_dist").cast("double") * 2 * F.col("n") * 2) / 2)
+            .alias("dtw_diag"),
+        )
+    )
+
+
+def _sql_dtw_diag():
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+bounds AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, b0, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), d AS (
+  SELECT g.user_id,
+         CAST(epoch(g.bucket - g.b0) / 3600 AS INT) AS t,
+         coalesce(CAST(b.n_events AS DOUBLE), 0.0) AS v
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+), med AS (
+  SELECT t, median(v) AS mv FROM d GROUP BY t
+)
+SELECT CAST(d.user_id AS VARCHAR) AS user_id,
+       round(sum(abs(d.v - med.mv)) * 2) / 2 AS dtw_diag
+FROM d JOIN med USING (t) GROUP BY d.user_id
+"""
+
+
+def q_symmetry_vs_median(spark, sf_dir):
+    """The reference symmetry formula (ts.pyx:231-243: cosine distance of the
+    per-series time-mean channel vector to a composite) with the per-channel
+    MEDIAN composite standing in for the geomedian — fully relational, hence
+    DuckDB-hash-green; the gm variant stays rows-only (q_symmetry), exactly
+    the area_warp → area_l1_to_median mirror pattern."""
+    b = _event_buckets(spark, sf_dir, "hour")
+    chans = list(EVENT_CHANNELS)
+    agg = b.groupBy("user_id").agg(
+        *[F.avg(c).alias(f"m_{c}") for c in chans],
+        *[F.median(F.col(c).cast("double")).alias(f"md_{c}") for c in chans],
+    )
+    dot = sum(
+        (F.col(f"m_{c}") * F.col(f"md_{c}") for c in chans[1:]),
+        F.col(f"m_{chans[0]}") * F.col(f"md_{chans[0]}"),
+    )
+    na = sum(
+        (F.col(f"m_{c}") * F.col(f"m_{c}") for c in chans[1:]),
+        F.col(f"m_{chans[0]}") * F.col(f"m_{chans[0]}"),
+    )
+    nb = sum(
+        (F.col(f"md_{c}") * F.col(f"md_{c}") for c in chans[1:]),
+        F.col(f"md_{chans[0]}") * F.col(f"md_{chans[0]}"),
+    )
+    return agg.select(
+        "user_id",
+        _r6(F.lit(1.0) - F.try_divide(dot, F.sqrt(na) * F.sqrt(nb))).alias("symmetry"),
+    )
+
+
+def _sql_symmetry_vs_median():
+    chans = list(EVENT_CHANNELS)
+    means = ", ".join(f"avg({c}) AS m_{c}" for c in chans)
+    meds = ", ".join(f"median(CAST({c} AS DOUBLE)) AS md_{c}" for c in chans)
+    dot = " + ".join(f"m_{c} * md_{c}" for c in chans)
+    na = " + ".join(f"m_{c} * m_{c}" for c in chans)
+    nb = " + ".join(f"md_{c} * md_{c}" for c in chans)
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+a AS (SELECT user_id, {means}, {meds} FROM b GROUP BY user_id)
+SELECT user_id,
+       round(1.0 - ({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0), 6) AS symmetry
+FROM a
+"""
+
+
 def q_number_peaks(spark, sf_dir):
     """CWT peak count of each user's hourly event-rate series
     (ts.pyx:222-228, scipy-free ridge-line re-derivation)."""
@@ -1145,12 +1251,16 @@ def q_dtw_path(spark, sf_dir):
     """Full DTW artifacts (dtw.pyx:89-121): banded DTW of each user's hourly
     series vs the area median curve, returning the OPTIMAL WARP PATH as
     (conv_id, step, i, j) rows plus the normalized distance — the
-    reference's third output, exposed relationally (rows-only; the DP/path
-    kernels are pytest-verified against the reference's exact goldens)."""
+    reference's third output, exposed relationally (rows-only; the batched
+    DP + lockstep backtrack is pytest-verified bit-equal to the serial
+    optimalpath goldens).  All series of one length-class are filled AND
+    backtracked in one vectorized pass (kernels_np.dtw_path_batch) — no
+    per-series Python DP."""
     import numpy as np
     import pandas as pd
 
-    from .operators.series import series_table
+    from .kernels_np import dtw_path_batch
+    from .operators.series import _equal_length_stacks, series_table
 
     dense, _ = _dense_event_series(spark, sf_dir)
     ref = _area_median_curve(dense, "n_events")
@@ -1160,29 +1270,22 @@ def q_dtw_path(spark, sf_dir):
     st = st.repartition(sc.defaultParallelism)
 
     def gen(batches):
-        from hdstats_oracle.dtw import local_dtw
-
         rv = bref.value
         for pdf in batches:
-            out = []
-            for cid, v, ln in zip(pdf["conv_id"], pdf["n_events"], pdf["n"]):
-                x = np.asarray(v[: int(ln)], dtype=np.float64).reshape(-1, 1)
-                a = rv[: int(ln)].reshape(-1, 1)
-                d, _D, path = local_dtw(a, x, window=8)
-                L = path.shape[1]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": np.repeat(cid, L),
-                            "step": np.arange(L, dtype=np.int32),
-                            "i": path[0].astype(np.int32),
-                            "j": path[1].astype(np.int32),
-                            "dtw_dist": np.float32(d),
-                        }
-                    )
+            for ids, X in _equal_length_stacks(pdf, "n_events", "conv_id"):
+                L = X.shape[1]
+                dist, plens, ii, jj = dtw_path_batch(X, rv[:L].astype(np.float32), window=8)
+                pos = np.arange(int(plens.sum()), dtype=np.int64)
+                starts = np.cumsum(plens) - plens
+                yield pd.DataFrame(
+                    {
+                        "conv_id": np.repeat(ids, plens),
+                        "step": (pos - np.repeat(starts, plens)).astype(np.int32),
+                        "i": ii,
+                        "j": jj,
+                        "dtw_dist": np.repeat(dist, plens),
+                    }
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
     return st.mapInPandas(
         gen, "conv_id string, step int, i int, j int, dtw_dist float"
@@ -1384,6 +1487,9 @@ def queries():
         "dtw_area": q_dtw_area,
         "area_warp": q_area_warp,
         "area_l1_to_median": q_area_l1_to_median,
+        # degenerate-case hash-green mirrors of the kernel paths
+        "dtw_diag": q_dtw_diag,
+        "symmetry_vs_median": q_symmetry_vs_median,
         "number_peaks": q_number_peaks,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
@@ -1425,6 +1531,8 @@ def oracles():
         "dist_to_centroid": _sql_dist_to_centroid(),
         "geomedian_1d": SQL_GEOMEDIAN_1D,
         "area_l1_to_median": SQL_AREA_L1_TO_MEDIAN,
+        "dtw_diag": _sql_dtw_diag(),
+        "symmetry_vs_median": _sql_symmetry_vs_median(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "multimodal_features": _sql_multimodal_features(),
         "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,

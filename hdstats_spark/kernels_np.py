@@ -111,27 +111,14 @@ def nangeomedian_batch(
         return out
 
 
-def dtw_dist_batch(
-    X: np.ndarray,
-    ref: np.ndarray,
-    window: int | None = None,
-    lengths: np.ndarray | None = None,
-) -> np.ndarray:
-    """Batched DTW distance of every series X[g] (G, n) to a reference series
-    (n,), normalized by r+c (dtw.pyx:69-86 / banded :35-53).
-
-    The DP fills anti-diagonal wavefronts across ALL series at once: each
-    cell is cost + min of its three predecessors, stored float32 exactly as
-    the serial kernel, so results are bit-identical (verified in
-    tests/test_kernels_batched.py) while the Python-level loop is O(r+c)
-    instead of O(r·c) per series.
-
-    ``lengths`` restricts each series (and the reference) to its true prefix
-    length; shorter series are handled by masking cells beyond their extent.
+def _dtw_fill_batch(X: np.ndarray, ref: np.ndarray, window: int | None) -> np.ndarray:
+    """Anti-diagonal wavefront fill of the ∞-bordered DP tensor for every
+    series at once (G, n+1, n+1) — the shared core of dtw_dist_batch and
+    dtw_path_batch.  Bit-identical to the serial _fill_dp (hdstats_oracle
+    dtw.py / reference dtw.pyx:35-53,101-104): float64 cost + float32 store.
     """
     G, n = X.shape
-    lens = np.full(G, n, dtype=np.int64) if lengths is None else np.asarray(lengths, np.int64)
-    r = c = n  # reference and series share the dense grid
+    r = c = n
     # memory: D is G·(n+1)² float32 — callers chunk G (~2 MB/series at n=720)
     D = np.full((G, r + 1, c + 1), np.inf, dtype=F32)
     D[:, 0, 0] = 0.0
@@ -156,6 +143,91 @@ def dtw_dist_batch(
             np.minimum(D[:, ii - 1, jj], D[:, ii, jj - 1]), D[:, ii - 1, jj - 1]
         )
         D[:, ii, jj] = (cst + prev).astype(F32)
+    return D
+
+
+def dtw_path_batch(
+    X: np.ndarray, ref: np.ndarray, window: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched banded DTW of every series X[g] (G, n) to ``ref`` (n,) WITH the
+    optimal warp path — the batched analogue of the reference's full ``dtw``
+    output (dtw.pyx:89-121).
+
+    The DP fill is the shared wavefront (_dtw_fill_batch); the backtrack runs
+    all series in LOCKSTEP: one step per Python iteration moves every
+    still-active series one cell, applying exactly optimalpath's float32 tie
+    rules (diagonal preferred, then the i-decrement), so paths are bit-equal
+    to the serial greedy backtrack.  Python-level work is O(max path length)
+    iterations, not O(G · path length).
+
+    Returns ``(dist (G,) f32, path_len (G,) i64, ii (total,) i32,
+    jj (total,) i32)`` with the per-series paths concatenated in series order,
+    each in FORWARD order (step 0 first) and 0-based inner coordinates — the
+    exact rows of optimalpath(D).T.
+    """
+    G, n = X.shape
+    r = c = n
+    D = _dtw_fill_batch(X, ref, window)
+    dist = (D[:, r, c] / np.float32(r + c)).astype(F32)
+
+    max_steps = r + c - 1  # a path visits at most r+c-1 cells
+    I = np.empty((G, max_steps), dtype=np.int32)
+    J = np.empty((G, max_steps), dtype=np.int32)
+    i = np.full(G, r - 1, dtype=np.int64)
+    j = np.full(G, c - 1, dtype=np.int64)
+    I[:, 0] = i
+    J[:, 0] = j
+    steps = np.ones(G, dtype=np.int64)
+    active = np.nonzero((i > 0) | (j > 0))[0]
+    while active.size:
+        ia, ja = i[active], j[active]
+        # bordered-coord predecessors of inner cell (ia, ja) — same indexing
+        # as optimalpath: diag=D[i,j], up=D[i,j+1], left=D[i+1,j]
+        diag = D[active, ia, ja]
+        up = D[active, ia, ja + 1]
+        left = D[active, ia + 1, ja]
+        take_diag = (diag <= up) & (diag <= left)
+        take_up = ~take_diag & (up <= left) & (up <= diag)
+        di = take_diag | take_up
+        dj = take_diag | ~(take_diag | take_up)
+        i[active] -= di
+        j[active] -= dj
+        I[active, steps[active]] = i[active]
+        J[active, steps[active]] = j[active]
+        steps[active] += 1
+        active = active[(i[active] > 0) | (j[active] > 0)]
+
+    # flatten backwards-walked rows into forward-order concatenated paths
+    total = int(steps.sum())
+    starts = np.cumsum(steps) - steps
+    row = np.repeat(np.arange(G), steps)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, steps)
+    col = np.repeat(steps, steps) - 1 - pos  # reverse within each series
+    return dist, steps, I[row, col], J[row, col]
+
+
+def dtw_dist_batch(
+    X: np.ndarray,
+    ref: np.ndarray,
+    window: int | None = None,
+    lengths: np.ndarray | None = None,
+) -> np.ndarray:
+    """Batched DTW distance of every series X[g] (G, n) to a reference series
+    (n,), normalized by r+c (dtw.pyx:69-86 / banded :35-53).
+
+    The DP fills anti-diagonal wavefronts across ALL series at once: each
+    cell is cost + min of its three predecessors, stored float32 exactly as
+    the serial kernel, so results are bit-identical (verified in
+    tests/test_kernels_batched.py) while the Python-level loop is O(r+c)
+    instead of O(r·c) per series.
+
+    ``lengths`` restricts each series (and the reference) to its true prefix
+    length; shorter series are handled by masking cells beyond their extent.
+    """
+    G, n = X.shape
+    lens = np.full(G, n, dtype=np.int64) if lengths is None else np.asarray(lengths, np.int64)
+    r = c = n  # reference and series share the dense grid
+    D = _dtw_fill_batch(X, ref, window)
     out = D[:, r, c] / np.float32(r + c)
     # series shorter than the grid: recompute their distances on the true
     # prefix (rare; the dense grid makes lengths equal per chunk)

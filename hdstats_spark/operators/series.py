@@ -112,6 +112,56 @@ def _stack_chunk(pdf: pd.DataFrame, idx: np.ndarray, channels) -> tuple[np.ndarr
     return X, lens
 
 
+def geomedian_axis0(
+    series_df: DataFrame,
+    channels: Sequence[str] = CHANNELS,
+    eps: float = 1e-7,
+    maxiters: int = 1000,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Geometric median along AXIS 0 (reference geomedian.pyx:379-395,
+    axis=0): the per-series (p, n) channel matrix is transposed, so the p
+    channel rows become the observations and the gm is a LENGTH-n vector —
+    one value per time position, returned as an array column
+    (conv_id, n, gm array<float>).
+
+    Padding is NOT neutral in the dimension axis (a NaN pad makes every
+    observation unclean), so series are stacked by exact length
+    (_equal_length_stacks-style) and each length class runs one batched
+    Weiszfeld with the axes swapped: tensor (G_L, L, p), observations = p."""
+    chans = list(channels)
+    sc = series_df.sparkSession.sparkContext
+    series_df = series_df.repartition(sc.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["n"].to_numpy().astype(np.int64)
+            ids = pdf[key_col].to_numpy()
+            for L in np.unique(lens):
+                idx = np.nonzero(lens == L)[0]
+                Li = int(L)
+                # (G_L, L, p): time positions are the dimensions, channels
+                # the observations — the oracle's axis-0 transpose
+                X = np.empty((len(idx), Li, len(chans)), dtype=np.float32)
+                for j, c in enumerate(chans):
+                    col = pdf[c].to_numpy()[idx]
+                    X[:, :, j] = np.stack(
+                        [np.asarray(v[:Li], dtype=np.float32) for v in col]
+                    )
+                gm = nangeomedian_batch(X, eps, maxiters)
+                yield pd.DataFrame(
+                    {
+                        key_col: ids[idx],
+                        "n": np.full(len(idx), Li, dtype=np.int32),
+                        "gm": list(gm),
+                    }
+                )
+
+    return series_df.mapInPandas(gen, f"{key_col} string, n int, gm array<float>")
+
+
 def geomedian_mads_batched(
     series_df: DataFrame,
     channels: Sequence[str] = CHANNELS,
@@ -119,16 +169,29 @@ def geomedian_mads_batched(
     maxiters: int = 1000,
     with_mads: bool = True,
     key_col: str = "conv_id",
+    axis: int = 1,
 ) -> DataFrame:
     """Geometric-median composite (+ optional MAD trio) for every series in
     one mapInArrow pass — the engine's flagship continuous aggregate
     (nangeomedian_pcm + emad/smad/bcmad fused: SURVEY.md §3.1-3.2).
+
+    ``axis=1`` (default) reduces along time — the reference's per-pixel
+    composite.  ``axis=0`` (geomedian.pyx:379-395) reduces across channels
+    instead, yielding a length-n gm vector per series (schema differs:
+    see geomedian_axis0); MADs are only defined for the composite, so
+    axis=0 requires with_mads=False.
 
     mapInArrow, not mapInPandas: each channel arrives as an Arrow ListArray
     whose flat values buffer is borrowed zero-copy into NumPy and scattered
     into the padded (G, p, n) tensor with one fancy-index per channel — the
     pandas path materialized 4M+ per-row ndarray objects and cost ~4× the
     kernel itself on many-tiny-series workloads (the composite tier)."""
+    if axis == 0:
+        if with_mads:
+            raise ValueError("axis=0 gm has no MAD trio; pass with_mads=False")
+        return geomedian_axis0(series_df, channels, eps, maxiters, key_col)
+    if axis != 1:
+        raise IndexError(f"axis {axis} out of bounds")
     chans = list(channels)
     fields = [f"{key_col} string", "n int"] + [f"gm_{c} float" for c in chans]
     if with_mads:

@@ -71,6 +71,13 @@ def streaming_gapfill(
     streamed output therefore equals batch densify+locf exactly, which is
     what tests/test_streaming.py asserts.
 
+    Ordering contract: the per-group Arrow iterator may split one
+    micro-batch's rows across chunks, so the group is materialized and sorted
+    ONCE before the gap expansion; rows at or before the state clock (late
+    arrivals older than what LOCF already emitted) are DROPPED here — late
+    data is the batch reroll path's job (TierPipeline.reroll_days), and
+    emitting them online would duplicate already-emitted buckets.
+
     Scale: state per series is one float vector (p≈8 doubles) + a long —
     10^9 live conversations ≈ 100 GB of state across the cluster, well within
     RocksDB state-store territory; the grouping key partitions state exactly
@@ -96,49 +103,56 @@ def streaming_gapfill(
             last_vals = np.asarray(st[1:], dtype=np.float64)
         else:
             last_sec, last_vals = None, None
-        out = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(order_col)
-            secs = (
-                pdf[order_col].to_numpy("datetime64[us]").astype("int64") // 1_000_000
-            )
-            vals = pdf[chans].to_numpy(dtype=np.float64)
-            if last_sec is None:
-                prev_secs = np.concatenate((secs[:1], secs[:-1]))
-                prev_vals = np.vstack((vals[:1], vals[:-1]))
-            else:
-                prev_secs = np.concatenate(([last_sec], secs[:-1]))
-                prev_vals = np.vstack((last_vals[None, :], vals[:-1]))
-            # vectorized LOCF gap expansion: row i owes (Δ/step − 1) gap rows
-            # carrying the PREVIOUS observation's values
-            n_gaps = np.maximum((secs - prev_secs) // step - 1, 0)
-            total = int(n_gaps.sum())
-            if total:
-                reps = np.repeat(np.arange(len(secs)), n_gaps)
-                starts = np.cumsum(n_gaps) - n_gaps
-                k = np.arange(total, dtype=np.int64) - np.repeat(starts, n_gaps) + 1
-                gap = {
-                    key_col: np.repeat(conv, total),
-                    order_col: pd.to_datetime(prev_secs[reps] + k * step, unit="s"),
-                    "is_gap": np.ones(total, dtype=np.int32),
-                }
-                gv = prev_vals[reps]
-                gap.update({c: gv[:, j] for j, c in enumerate(chans)})
-                out.append(pd.DataFrame(gap))
-            obs = {
-                key_col: np.repeat(conv, len(secs)),
-                order_col: pd.to_datetime(secs, unit="s"),
-                "is_gap": np.zeros(len(secs), dtype=np.int32),
-            }
-            obs.update({c: vals[:, j] for j, c in enumerate(chans)})
-            out.append(pd.DataFrame(obs))
-            last_sec, last_vals = int(secs[-1]), vals[-1]
+        # one group's micro-batch may arrive in several Arrow chunks, and
+        # chunks are not globally ordered — materialize + sort the WHOLE
+        # group before expanding gaps (per-chunk sorting moved state
+        # backwards on out-of-order chunks and emitted duplicate buckets)
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            return
+        pdf = (pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)).sort_values(order_col)
+        secs = pdf[order_col].to_numpy("datetime64[us]").astype("int64") // 1_000_000
+        vals = pdf[chans].to_numpy(dtype=np.float64)
         if last_sec is not None:
-            state.update((last_sec, *[float(v) for v in last_vals]))
-        if out:
-            yield pd.concat(out, ignore_index=True)
+            # drop late rows at/before the state clock: their buckets were
+            # already emitted (as LOCF or observations) — replaying them
+            # online would duplicate output; late data goes to reroll_days
+            keep = secs > last_sec
+            secs, vals = secs[keep], vals[keep]
+        if secs.size == 0:
+            return
+        if last_sec is None:
+            prev_secs = np.concatenate((secs[:1], secs[:-1]))
+            prev_vals = np.vstack((vals[:1], vals[:-1]))
+        else:
+            prev_secs = np.concatenate(([last_sec], secs[:-1]))
+            prev_vals = np.vstack((last_vals[None, :], vals[:-1]))
+        # vectorized LOCF gap expansion: row i owes (Δ/step − 1) gap rows
+        # carrying the PREVIOUS observation's values
+        out = []
+        n_gaps = np.maximum((secs - prev_secs) // step - 1, 0)
+        total = int(n_gaps.sum())
+        if total:
+            reps = np.repeat(np.arange(len(secs)), n_gaps)
+            starts = np.cumsum(n_gaps) - n_gaps
+            k = np.arange(total, dtype=np.int64) - np.repeat(starts, n_gaps) + 1
+            gap = {
+                key_col: np.repeat(conv, total),
+                order_col: pd.to_datetime(prev_secs[reps] + k * step, unit="s", utc=True),
+                "is_gap": np.ones(total, dtype=np.int32),
+            }
+            gv = prev_vals[reps]
+            gap.update({c: gv[:, j] for j, c in enumerate(chans)})
+            out.append(pd.DataFrame(gap))
+        obs = {
+            key_col: np.repeat(conv, len(secs)),
+            order_col: pd.to_datetime(secs, unit="s", utc=True),
+            "is_gap": np.zeros(len(secs), dtype=np.int32),
+        }
+        obs.update({c: vals[:, j] for j, c in enumerate(chans)})
+        out.append(pd.DataFrame(obs))
+        state.update((int(secs[-1]), *[float(v) for v in vals[-1]]))
+        yield pd.concat(out, ignore_index=True)
 
     return tier_stream.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

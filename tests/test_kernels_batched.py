@@ -94,6 +94,40 @@ def test_dtw_batch_equals_serial():
     npt.assert_array_equal(got2[1], np.float32(exact_short))
 
 
+def test_dtw_path_batch_equals_optimalpath():
+    """Lockstep vectorized backtrack ≡ the serial greedy optimalpath —
+    bit-equal paths AND distances, full and banded (incl window=0), on the
+    reference golden pair and a random batch."""
+    from hdstats_spark.kernels_np import dtw_path_batch
+    from tests.fixtures import DTW_X, DTW_Y
+
+    # reference golden (tests/test_dtw.py): dist 0.2 + exact path
+    d, plens, ii, jj = dtw_path_batch(
+        DTW_Y.ravel()[None, :].astype(np.float32), DTW_X.ravel().astype(np.float32)
+    )
+    ds, _D, ps = hdo.dtw(DTW_X, DTW_Y)
+    npt.assert_almost_equal(d[0], 0.2)
+    npt.assert_array_equal(ii[: plens[0]], ps[0])
+    npt.assert_array_equal(jj[: plens[0]], ps[1])
+
+    rng = np.random.default_rng(11)
+    n, G = 31, 17
+    ref = rng.normal(0.5, 0.2, n).astype(np.float32)
+    X = rng.normal(0.5, 0.2, (G, n)).astype(np.float32)
+    for w in (None, 0, 3, 8):
+        dist, plens, ii, jj = dtw_path_batch(X, ref, window=w)
+        off = 0
+        for g in range(G):
+            a = ref.astype(np.float64).reshape(-1, 1)
+            b = X[g].astype(np.float64).reshape(-1, 1)
+            ds, _D, ps = hdo.dtw(a, b) if w is None else hdo.local_dtw(a, b, w)
+            L = int(plens[g])
+            npt.assert_array_equal(dist[g], np.float32(ds))
+            npt.assert_array_equal(ii[off : off + L], ps[0])
+            npt.assert_array_equal(jj[off : off + L], ps[1])
+            off += L
+
+
 def test_fourier_batch_equals_oracle():
     rng = np.random.default_rng(8)
     X = rng.normal(0.5, 0.2, (20, 40)).astype(np.float32)

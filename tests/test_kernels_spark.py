@@ -182,6 +182,40 @@ def test_symmetry_zero_for_constant(spark):
     assert abs(s) < 1e-5
 
 
+def test_symmetry_matches_oracle(dense):
+    """Full engine≡oracle parity for symmetry (ts.pyx:231-243): Spark's
+    avg+gm-join expression vs hdstats_oracle.ts.symmetry per series, at the
+    reference tolerances."""
+    gm = geomedian_agg(dense, CHANNELS, order_col="bucket")
+    got = (
+        symmetry_agg(dense, gm, CHANNELS)
+        .toPandas()
+        .set_index("conv_id")["symmetry"]
+    )
+    mats = _series_matrices(dense.toPandas())
+    for cid, M in mats.items():
+        expect = hdo.symmetry(M[None, None, :, :])[0, 0]
+        npt.assert_allclose(got[cid], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_number_peaks_spark_matches_oracle(dense):
+    """Spark wrapper (number_peaks_agg over series_table) ≡ the oracle CWT
+    ridge-line count per series — exact integer equality."""
+    from hdstats_spark.operators.series import number_peaks_agg, series_table
+
+    st = series_table(dense, ["turn_rate"])
+    got = (
+        number_peaks_agg(st, "turn_rate", n=10)
+        .toPandas()
+        .set_index("conv_id")["n_peaks"]
+    )
+    mats = _series_matrices(dense.toPandas(), ["turn_rate"])
+    assert len(got) == len(mats)
+    for cid, M in mats.items():
+        expect = hdo.number_peaks(M[None, :, :], n=10)[0, 0]
+        assert got[cid] == expect, cid
+
+
 def test_geomedian_flat_equals_series_table(dense):
     """Flat mapInArrow path (sort-within-partitions + cross-batch group
     stitching) ≡ the series_table path for the full gm+MAD output."""
@@ -202,6 +236,31 @@ def test_geomedian_flat_equals_series_table(dense):
     npt.assert_array_equal(
         a[cols].to_numpy(np.float64), b[cols].to_numpy(np.float64)
     )
+
+
+def test_geomedian_axis0_matches_oracle(dense):
+    """Engine axis-0 surface (geomedian.pyx:379-395): per-series length-n gm
+    vector ≡ oracle nangeomedian(M, axis=0) — the axis0 ≡ axis1-of-transpose
+    identity at the Spark level."""
+    from hdstats_spark.operators.series import geomedian_mads_batched, series_table
+
+    st = series_table(dense, CHANNELS)
+    out = (
+        geomedian_mads_batched(st, CHANNELS, with_mads=False, axis=0)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    mats = _series_matrices(dense.toPandas())
+    assert len(out) == len(mats)
+    for cid, M in list(mats.items())[:40]:
+        expect = hdo.nangeomedian(M, axis=0)
+        got = np.asarray(out.loc[cid, "gm"], dtype=np.float32)
+        assert out.loc[cid, "n"] == M.shape[1]
+        npt.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+        # the identity itself: axis0(M) == axis1(Mᵀ)
+        npt.assert_allclose(
+            got, hdo.nangeomedian(M.T, axis=1), rtol=1e-4, atol=1e-4
+        )
 
 
 def test_fourier_batched_equals_per_group(dense):

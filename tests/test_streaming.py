@@ -152,3 +152,74 @@ def test_streaming_gapfill_equals_batch_locf(spark, transcripts, tmp_path):
         )
     # gap rows are flagged and carry the previous observation
     assert (got.is_gap.isin([0, 1])).all() and got.is_gap.sum() > 0
+
+
+def test_streaming_gapfill_multichunk_and_late_rows(spark, tmp_path):
+    """Two hardening contracts: (a) a group whose micro-batch spans several
+    Arrow chunks (forced via a tiny maxRecordsPerBatch) is sorted as a WHOLE
+    before gap expansion — per-chunk sorting used to move state backwards on
+    out-of-order chunks; (b) rows at or before the state clock (late
+    arrivals) are dropped, never re-emitted as duplicate buckets."""
+    import datetime
+
+    from hdstats_spark.streaming.stream import streaming_gapfill
+
+    t0 = datetime.datetime(2025, 3, 1)
+    mins_a = [0, 2, 5, 30, 7, 12, 9, 20, 15, 25, 1, 3]  # deliberately unordered
+    mins_b = [3, 4, 31, 35]  # 3, 4 are LATE (state clock is 30 after batch A)
+    rows_a = [("c1", t0 + datetime.timedelta(minutes=m), float(m)) for m in mins_a]
+    rows_b = [("c1", t0 + datetime.timedelta(minutes=m), 100.0 + m) for m in mins_b]
+    src = str(tmp_path / "mc_src")
+    os.makedirs(src)
+    dfa = spark.createDataFrame(rows_a, ["conv_id", "bucket", "v"]).coalesce(1)
+    dfb = spark.createDataFrame(rows_b, ["conv_id", "bucket", "v"]).coalesce(1)
+    dfa.write.mode("append").parquet(src)
+    base = time.time()
+    a_files = set(glob.glob(os.path.join(src, "part-*.parquet")))
+    for p in a_files:
+        os.utime(p, (base - 100, base - 100))
+    dfb.write.mode("append").parquet(src)
+    for p in set(glob.glob(os.path.join(src, "part-*.parquet"))) - a_files:
+        os.utime(p, (base, base))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_gapfill(stream, ["v"], step_seconds=60)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gf_mc")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "mc_ckpt"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                q.processAllAvailable()
+                if not q.status["isDataAvailable"]:
+                    break
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = spark.table("gf_mc").toPandas().sort_values("bucket").reset_index(drop=True)
+    # batch A must emit the full dense 0..30 grid exactly once
+    # (multi-chunk disorder must not fragment or duplicate it); batch B the
+    # 31..35 grid; the late rows (3, 4) must be dropped, so bucket values at
+    # 3 and 4 carry batch A's LOCF values, not 103/104
+    assert len(got) == 36, len(got)
+    assert not got.bucket.duplicated().any()
+    mins = ((got.bucket - got.bucket.min()).dt.total_seconds() // 60).astype(int)
+    assert list(mins) == list(range(36))
+    byv = got.set_index(mins)["v"]
+    assert byv[3] == 3.0 and byv[4] == 3.0  # LOCF from minute 3's ON-TIME row
+    assert byv[31] == 131.0 and byv[34] == 131.0 and byv[35] == 135.0
+    obs = {0, 1, 2, 3, 5, 7, 9, 12, 15, 20, 25, 30, 31, 35}
+    assert set(got.loc[got.is_gap == 0].index.map(mins)) == obs
