@@ -47,6 +47,8 @@ HEADLINE = [
     "dtw_area",
     "area_warp",
     "area_l1_to_median",
+    "dtw_diag",
+    "symmetry_vs_median",
     "multimodal_features",
     # re-admitted with the max_doc_freq=200 hot-shingle cap: the synthetic
     # 30-word vocabulary makes every bigram hot at sf0.1, and the cap bounds

@@ -127,15 +127,16 @@ def _dtw_fill_batch(X: np.ndarray, ref: np.ndarray, window: int | None) -> np.nd
     for d in range(2, r + c + 1):
         i0 = max(1, d - c)
         i1 = min(r, d - 1)
+        if window is not None:
+            # |i - j| ≤ w with j = d - i ⇔ (d-w)/2 ≤ i ≤ (d+w)/2 — bound the
+            # row range analytically instead of materializing the full
+            # diagonal and masking (a ~n/(2w+1)× saving for narrow bands)
+            i0 = max(i0, (d - window + 1) // 2)
+            i1 = min(i1, (d + window) // 2)
         if i0 > i1:
             continue
         ii = np.arange(i0, i1 + 1)
         jj = d - ii
-        if window is not None:
-            keep = np.abs(ii - jj) <= window
-            if not keep.any():
-                continue
-            ii, jj = ii[keep], jj[keep]
         # cost(i-1, j-1) = |ref[i-1] - X[:, j-1]| (reference plays the row role,
         # matching area_warp's dtw_dist(areats, series) argument order)
         cst = np.abs(rd[ii - 1][None, :] - Xd[:, jj - 1])

@@ -58,7 +58,9 @@ def doc_shingles(docs: DataFrame, n: int = 5, id_col="doc_id", text_col="text",
             s.groupBy("shingle").count().filter(F.col("count") > max_doc_freq)
             .select("shingle")
         )
-        s = s.join(F.broadcast(hot), "shingle", "left_anti")
+        # unhinted: the hot-shingle head also grows with the corpus (Zipf
+        # head ∝ occurrences/max_doc_freq); AQE broadcasts it when small
+        s = s.join(hot, "shingle", "left_anti")
     return s
 
 

@@ -83,13 +83,21 @@ def mad_agg(
     channels: Sequence[str] = CHANNELS,
     kinds: Sequence[str] = ("emad", "smad", "bcmad"),
     order_col: str = "bucket",
+    broadcast_gm: bool = True,
 ) -> DataFrame:
     """Per-conversation MAD discordance vs the geomedian composite
-    (geomad.pyx:200-350): broadcast-join the (small) composite table onto the
-    tier rows, compute the per-bucket distances vectorized, reduce with
-    nanmedian — all inside one grouped pass."""
+    (geomad.pyx:200-350): join the composite table onto the tier rows,
+    compute the per-bucket distances vectorized, reduce with nanmedian — all
+    inside one grouped pass.
+
+    ``broadcast_gm=False`` drops the broadcast hint for composite tables that
+    scale with the series count (one gm row per conversation — at 10^9
+    conversations the composite is itself a big table): AQE then picks a
+    shuffled join, and because both sides hash-partition on conv_id the
+    downstream groupBy reuses that partitioning exchange-free.  See also
+    mads_cogrouped for the cogroup formulation of the same stack × gm align."""
     gm_cols = [f"gm_{c}" for c in channels]
-    joined = tier_df.join(F.broadcast(gm_df), "conv_id")
+    joined = tier_df.join(F.broadcast(gm_df) if broadcast_gm else gm_df, "conv_id")
     fields = [T.StructField("conv_id", T.StringType(), False)]
     fields += [T.StructField(k, T.FloatType(), True) for k in kinds]
     schema = T.StructType(fields)
@@ -119,6 +127,59 @@ def mad_agg(
         return pd.DataFrame([out])
 
     return joined.groupBy("conv_id").applyInPandas(fn, schema)
+
+
+def mads_cogrouped(
+    tier_df: DataFrame,
+    gm_df: DataFrame,
+    channels: Sequence[str] = CHANNELS,
+    kinds: Sequence[str] = ("emad", "smad", "bcmad"),
+    order_col: str = "bucket",
+) -> DataFrame:
+    """The stack × composite alignment as a COGROUP (SURVEY §2.2 joins:
+    ``cogroup(...).applyInPandas`` when both sides are large): tier rows and
+    gm rows are co-partitioned on conv_id and each key's two frames meet in
+    one Python call — no broadcast, no pre-join materialization of gm columns
+    onto every tier row (the widest table in the pipeline stays narrow).
+
+    Semantically identical to mad_agg (pytest-pinned); the right variant when
+    the composite has one row per conversation at 10^9 conversations."""
+    gm_cols = [f"gm_{c}" for c in channels]
+    fields = [T.StructField("conv_id", T.StringType(), False)]
+    fields += [T.StructField(k, T.FloatType(), True) for k in kinds]
+    schema = T.StructType(fields)
+    chans = list(channels)
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import warnings
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({f.name: [] for f in fields})
+        X = _matrix(left, chans, order_col)  # (p, n)
+        gm = right[gm_cols].iloc[0].to_numpy(dtype=_F32)  # (p,)
+        out = {"conv_id": left["conv_id"].iloc[0]}
+        with np.errstate(all="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            if "emad" in kinds:
+                d = (X - gm[:, None]).astype(np.float64)
+                out["emad"] = _F32(np.nanmedian(np.sqrt(np.einsum("pn,pn->n", d, d)).astype(_F32)))
+            if "smad" in kinds:
+                numer = np.einsum("pn->n", (X * gm[:, None]).astype(np.float64))
+                norma = np.einsum("pn->n", (X * X).astype(np.float64))
+                normb = np.sum((gm * gm).astype(np.float64))
+                cd = (1.0 - numer / (np.sqrt(norma) * np.sqrt(normb))).astype(_F32)
+                out["smad"] = _F32(np.nanmedian(cd))
+            if "bcmad" in kinds:
+                numer = np.abs((X - gm[:, None]).astype(np.float64)).sum(axis=0)
+                denom = np.abs((X + gm[:, None]).astype(np.float64)).sum(axis=0)
+                out["bcmad"] = _F32(np.nanmedian((numer / denom).astype(_F32)))
+        return pd.DataFrame([out])
+
+    return (
+        tier_df.groupBy("conv_id")
+        .cogroup(gm_df.groupBy("conv_id"))
+        .applyInPandas(fn, schema)
+    )
 
 
 def fourier_features(

@@ -83,7 +83,9 @@ def fingerprint_overlap_pairs(
             fp.groupBy("fingerprint").count().filter(F.col("count") > max_doc_freq)
             .select("fingerprint")
         )
-        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+        # unhinted: hot-fingerprint count grows with the corpus; AQE
+        # broadcasts it when genuinely small
+        fp = fp.join(hot, "fingerprint", "left_anti")
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")

@@ -173,3 +173,18 @@ def test_multimodal_assets_from_docs(spark):
     f = extract_features(assets_from_docs(docs), dim=16).toPandas()
     fcols = [f"f_{j}" for j in range(16)]
     assert ((f[fcols].sum(axis=1) - 1.0).abs() < 1e-4).all()
+
+
+def test_collect_embeddings_guard(spark):
+    """The exact (driver-collected) embedding path must refuse unbounded
+    corpora: max_rows is a hard ceiling with a pointer to the LSH scale
+    path — collecting 10^9 vectors to the driver is an OOM, not a plan."""
+    from hdstats_spark.driver_queries import _collect_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    # bounded reference set passes
+    ids, M, norms = _collect_embeddings(spark, sf, max_rows=1_000_000)
+    assert len(ids) == M.shape[0] == norms.shape[0] > 0
+    # a corpus over the ceiling raises, naming the scale paths
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        _collect_embeddings(spark, sf, max_rows=len(ids) - 1)

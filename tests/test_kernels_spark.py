@@ -182,6 +182,31 @@ def test_symmetry_zero_for_constant(spark):
     assert abs(s) < 1e-5
 
 
+def test_mads_cogrouped_equals_broadcast(dense):
+    """cogroup() stack × gm alignment ≡ the broadcast-join mad_agg (the
+    big-composite variant for 10^9-conversation tables), bit-for-bit; the
+    unhinted-join variant too."""
+    from hdstats_spark.operators.kernels import mads_cogrouped
+
+    gm = geomedian_agg(dense, CHANNELS, order_col="bucket")
+    a = mad_agg(dense, gm, CHANNELS).toPandas().set_index("conv_id").sort_index()
+    b = (
+        mads_cogrouped(dense, gm, CHANNELS)
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    c = (
+        mad_agg(dense, gm, CHANNELS, broadcast_gm=False)
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    cols = ["emad", "smad", "bcmad"]
+    npt.assert_array_equal(a[cols].to_numpy(np.float32), b[cols].to_numpy(np.float32))
+    npt.assert_array_equal(a[cols].to_numpy(np.float32), c[cols].to_numpy(np.float32))
+
+
 def test_symmetry_matches_oracle(dense):
     """Full engine≡oracle parity for symmetry (ts.pyx:231-243): Spark's
     avg+gm-join expression vs hdstats_oracle.ts.symmetry per series, at the

@@ -45,6 +45,17 @@ def test_copart_cascade_single_exchange(spark, transcripts):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_plan_auto_selection(spark, tmp_path):
+    """plan='auto' resolves to copart everywhere except single-box local
+    masters with >16 cores (the measured DRAM-ceiling corner); explicit
+    plans pass through untouched."""
+    root = str(tmp_path / "psel")
+    # test session is local[8] → defaultParallelism 8 → copart
+    assert TierPipeline(spark, root).plan == "copart"
+    assert TierPipeline(spark, root, plan="classic").plan == "classic"
+    assert TierPipeline(spark, root, plan="copart").plan == "copart"
+
+
 def test_icelite_escaped_partition_values(spark, tmp_path):
     """Partition values Spark path-escapes (space, ':') must round-trip
     through the manifest and match caller-supplied filters."""
