@@ -48,7 +48,9 @@ HEADLINE = [
     "area_warp",
     "area_l1_to_median",
     "dtw_diag",
+    "dtw_diag_path",
     "symmetry_vs_median",
+    "minhash_lsh_poly",
     "multimodal_features",
     # re-admitted with the max_doc_freq=200 hot-shingle cap: the synthetic
     # 30-word vocabulary makes every bigram hot at sf0.1, and the cap bounds

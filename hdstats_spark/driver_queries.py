@@ -1094,6 +1094,94 @@ FROM d JOIN med USING (t) GROUP BY d.user_id
 """
 
 
+def q_dtw_diag_path(spark, sf_dir):
+    """The FULL batched DTW artifact (fill + lockstep backtrack,
+    kernels_np.dtw_path_batch) run end-to-end with window=0: the band pins
+    the optimal path to the main diagonal (i=j=step, length n) and the
+    distance to Σ|xᵢ−refᵢ|/(2n) — both fully SQL-expressible, so the
+    backtrack kernel itself gets a DuckDB-hash-green row (dtw.pyx:35-53 +
+    :109-121 degenerate).  Same zero-filled integer grid + snap-to-halves
+    exactness as q_dtw_diag."""
+    import numpy as np
+    import pandas as pd
+
+    from .kernels_np import dtw_path_batch
+    from .operators.gapfill import densify
+    from .operators.series import _equal_length_stacks, series_table
+
+    tier = (
+        _event_buckets(spark, sf_dir, "hour")
+        .withColumn("conv_id", F.col("user_id").cast("string"))
+        .drop("user_id")
+    )
+    dense0 = densify(tier, "1h", ["n_events"]).withColumn(
+        "n_events", F.coalesce(F.col("n_events").cast("double"), F.lit(0.0))
+    )
+    ref = _area_median_curve(dense0, "n_events")
+    st = series_table(dense0, ["n_events"])
+    sc = spark.sparkContext
+    bref = sc.broadcast(ref)
+    st = st.repartition(sc.defaultParallelism)
+
+    def gen(batches):
+        rv = bref.value
+        for pdf in batches:
+            for ids, X in _equal_length_stacks(pdf, "n_events", "conv_id"):
+                L = X.shape[1]
+                dist, plens, ii, jj = dtw_path_batch(
+                    X, rv[:L].astype(np.float32), window=0
+                )
+                pos = np.arange(int(plens.sum()), dtype=np.int64)
+                starts = np.cumsum(plens) - plens
+                step = (pos - np.repeat(starts, plens)).astype(np.int32)
+                # dist·2n is an exact multiple of 0.5 (integer grid, median
+                # of integers) — un-normalize and snap away the f32 division
+                snapped = np.round(dist.astype(np.float64) * 2 * L * 2) / 2
+                yield pd.DataFrame(
+                    {
+                        "user_id": np.repeat(ids, plens),
+                        "step": step,
+                        "i": ii,
+                        "j": jj,
+                        "dtw_diag": np.repeat(snapped, plens),
+                    }
+                )
+
+    return st.mapInPandas(
+        gen, "user_id string, step int, i int, j int, dtw_diag double"
+    )
+
+
+def _sql_dtw_diag_path():
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+bounds AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, b0, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), d AS (
+  SELECT g.user_id,
+         CAST(epoch(g.bucket - g.b0) / 3600 AS INT) AS t,
+         coalesce(CAST(b.n_events AS DOUBLE), 0.0) AS v
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+), med AS (
+  SELECT t, median(v) AS mv FROM d GROUP BY t
+), dist AS (
+  SELECT CAST(d.user_id AS VARCHAR) AS user_id,
+         round(sum(abs(d.v - med.mv)) * 2) / 2 AS dtw_diag,
+         count(*) AS n
+  FROM d JOIN med USING (t) GROUP BY d.user_id
+)
+SELECT user_id,
+       CAST(unnest(generate_series(0, CAST(n - 1 AS INT))) AS INT) AS step,
+       CAST(unnest(generate_series(0, CAST(n - 1 AS INT))) AS INT) AS i,
+       CAST(unnest(generate_series(0, CAST(n - 1 AS INT))) AS INT) AS j,
+       dtw_diag
+FROM dist
+"""
+
+
 def q_symmetry_vs_median(spark, sf_dir):
     """The reference symmetry formula (ts.pyx:231-243: cosine distance of the
     per-series time-mean channel vector to a composite) with the per-channel
@@ -1201,6 +1289,63 @@ SELECT id_a, id_b,
        round(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
 FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 6) >= {threshold}
+"""
+
+
+def q_minhash_lsh_poly(spark, sf_dir, k=8, bands=4, threshold=0.25, n=2, seed=7):
+    """The ENTIRE MinHash+LSH pipeline DuckDB-hash-checked: shingle →
+    polynomial byte hash mod M31 (SQL-computable, same trick as the winnowing
+    oracle) → k seeded affine permutations → per-doc min aggregates → banded
+    bucket self-join → agreement-fraction estimate ≥ τ.  The oracle
+    regenerates the identical permutation constants and replays every step
+    relationally (band match = OR of per-band conjunctions ≡ the bucket
+    equi-join's distinct candidates).  The xxhash64 variant (q_minhash_lsh)
+    remains the scale default; this mirror proves the algebra."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, k=k, bands=bands, threshold=threshold, n=n, seed=seed,
+        hash_mode="poly31",
+    )
+
+
+def _sql_minhash_lsh_poly(k=8, bands=4, threshold=0.25, n=2, seed=7):
+    from .operators.dedup import _MERSENNE, minhash_perm_constants
+
+    a, b = minhash_perm_constants(k, seed)
+    r = k // bands
+    poly = (
+        "list_reduce("
+        "list_transform(range(1, length(shingle) + 1), "
+        "i -> CAST(ascii(substr(shingle, CAST(i AS INT), 1)) AS BIGINT)), "
+        f"(acc, x) -> (acc * 257 + x) % {_MERSENNE})"
+    )
+    mins = ",\n         ".join(
+        f"min(({poly} * {a[j]} + {b[j]}) % {_MERSENNE}) AS mh_{j}" for j in range(k)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"sa.mh_{band * r + j} = sb.mh_{band * r + j}" for j in range(r)) + ")"
+        for band in range(bands)
+    )
+    agree = " + ".join(f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END" for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+  FROM t
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM s GROUP BY doc_id
+)
+SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+       round(({agree}) * 1.0 / {k}, 6) AS est_jaccard
+FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id AND ({band_eq})
+WHERE round(({agree}) * 1.0 / {k}, 6) >= {threshold}
 """
 
 
@@ -1489,11 +1634,13 @@ def queries():
         "area_l1_to_median": q_area_l1_to_median,
         # degenerate-case hash-green mirrors of the kernel paths
         "dtw_diag": q_dtw_diag,
+        "dtw_diag_path": q_dtw_diag_path,
         "symmetry_vs_median": q_symmetry_vs_median,
         "number_peaks": q_number_peaks,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_poly": q_minhash_lsh_poly,
         "simhash_dups": q_simhash_dups,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1532,8 +1679,10 @@ def oracles():
         "geomedian_1d": SQL_GEOMEDIAN_1D,
         "area_l1_to_median": SQL_AREA_L1_TO_MEDIAN,
         "dtw_diag": _sql_dtw_diag(),
+        "dtw_diag_path": _sql_dtw_diag_path(),
         "symmetry_vs_median": _sql_symmetry_vs_median(),
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "minhash_lsh_poly": _sql_minhash_lsh_poly(),
         "multimodal_features": _sql_multimodal_features(),
         "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,
         "winnow_overlap": _sql_winnow_overlap(),

@@ -100,20 +100,43 @@ def shingle_jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, k: int = 32, n: int = 5, seed: int = 7,
-    id_col="doc_id", text_col="text",
-) -> DataFrame:
-    """k-permutation MinHash signature per document, entirely as JVM
-    aggregates: shingle → xxhash64 → k affine permutations mod a Mersenne
-    prime → min per permutation."""
+def minhash_perm_constants(k: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    """The k affine-permutation constants (aᵢ, bᵢ) mod the Mersenne prime —
+    exposed so SQL oracles can regenerate the identical permutations."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def shingle_hash_col(hash_mode: str = "xxhash64", col: str = "shingle"):
+    """Shingle → int hash in [0, M31).  ``xxhash64`` is the scale default;
+    ``poly31`` is the byte-wise polynomial hash (acc·257 + ascii) mod M31 —
+    arithmetic a SQL engine can replicate exactly (same trick as the
+    winnowing oracle), enabling a DuckDB-hash-green mirror of the whole
+    MinHash pipeline.  Both are pure JVM expressions."""
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_MERSENNE))
+    if hash_mode == "poly31":
+        return F.expr(
+            f"aggregate(sequence(1, length({col})), 0L, "
+            f"(acc, i) -> (acc * 257 + ascii(substring({col}, i, 1))) % {_MERSENNE})"
+        )
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 32, n: int = 5, seed: int = 7,
+    id_col="doc_id", text_col="text", hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """k-permutation MinHash signature per document, entirely as JVM
+    aggregates: shingle → hash (xxhash64 or poly31) → k affine permutations
+    mod a Mersenne prime → min per permutation."""
+    a, b = minhash_perm_constants(k, seed)
     s = doc_shingles(docs, n, id_col, text_col)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    h = shingle_hash_col(hash_mode)
     aggs = [
-        F.min(F.pmod(h * F.lit(int(a[j])) + F.lit(int(b[j])), F.lit(_MERSENNE))).alias(f"mh_{j}")
+        F.min(F.pmod(h * F.lit(a[j]) + F.lit(b[j]), F.lit(_MERSENNE))).alias(f"mh_{j}")
         for j in range(k)
     ]
     return s.groupBy(id_col).agg(*aggs)
@@ -122,17 +145,30 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = 32, bands: int = 8, threshold: float = 0.5,
     n: int = 5, seed: int = 7, id_col="doc_id", text_col="text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: band the k minhashes into `bands` buckets,
     equi-join on (band, bucket-hash), estimate Jaccard as the fraction of
-    agreeing minhashes, keep est ≥ threshold."""
+    agreeing minhashes, keep est ≥ threshold.
+
+    ``hash_mode="poly31"`` makes the entire pipeline SQL-replicable (the
+    bucket key becomes the concatenated band minhashes instead of their
+    xxhash64) — same candidates, same estimates, different bucket-key
+    encoding; used by the DuckDB-hash-checked ``minhash_lsh_poly`` driver
+    query."""
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(docs, k, n, seed, id_col, text_col).cache()
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias(f"band_{band}")
-        for band in range(bands)
-    ]
+    sig = minhash_signatures(docs, k, n, seed, id_col, text_col, hash_mode).cache()
+    if hash_mode == "poly31":
+        band_cols = [
+            F.concat_ws("_", *[F.col(f"mh_{band * r + j}") for j in range(r)]).alias(f"band_{band}")
+            for band in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias(f"band_{band}")
+            for band in range(bands)
+        ]
     banded = sig.select(id_col, *band_cols)
     buckets = banded.select(
         id_col,

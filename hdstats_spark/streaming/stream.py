@@ -159,6 +159,33 @@ def streaming_gapfill(
     )
 
 
+def streaming_exact_dedup(
+    doc_stream: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact deduplication for document ingest: content digest
+    (md5 of the whitespace/case-normalized text) + Spark's
+    ``dropDuplicatesWithinWatermark`` — each distinct digest is emitted
+    exactly once, and digest state is reclaimed once the watermark passes
+    (bounded state, unlike a plain dropDuplicates which would pin every
+    digest forever).  The batch twin is the `exact_dedup` driver query; a
+    duplicate arriving LATER than the watermark is the batch reroll path's
+    job, the same contract as streaming_gapfill's late rows.
+
+    Scale: state is one (digest, max-ts) entry per distinct document inside
+    the watermark window — RocksDB-state-store territory at 10^9 docs/day;
+    the digest hash-partitions the stream exactly like a batch
+    groupBy(digest)."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        doc_stream.withColumn("digest", digest)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_dir: str, checkpoint: str, name: str = "tier_1m_stream",
     watermark: str = "10 minutes",

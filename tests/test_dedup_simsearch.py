@@ -51,6 +51,37 @@ def test_minhash_lsh_recall(spark, docs):
             assert est.loc[(i, 100 + i)] > 0.5
 
 
+def test_minhash_poly_mode_finds_planted(spark, docs):
+    """poly31 hash mode (the SQL-replicable variant) recalls the planted
+    near-dups just like the xxhash64 default, and its per-shingle hash obeys
+    the documented polynomial definition."""
+    from hdstats_spark.operators.dedup import (
+        _MERSENNE,
+        minhash_lsh_pairs,
+        shingle_hash_col,
+    )
+
+    from hdstats_spark.operators.dedup import shingle_jaccard_pairs
+
+    exact = shingle_jaccard_pairs(docs, threshold=0.6).toPandas()
+    truth = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    pairs = minhash_lsh_pairs(
+        docs, k=32, bands=8, threshold=0.5, hash_mode="poly31"
+    ).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    recall = len(truth & got) / max(len(truth), 1)
+    assert recall >= 0.9, (recall, truth - got)
+    assert (3, 200) in got  # the exact dup always survives
+    # hash definition: Spark expression ≡ Python fold
+    row = spark.createDataFrame([("hello world",)], ["shingle"]).select(
+        shingle_hash_col("poly31").alias("h")
+    ).collect()[0]
+    acc = 0
+    for ch in "hello world":
+        acc = (acc * 257 + ord(ch)) % _MERSENNE
+    assert row["h"] == acc
+
+
 def test_simhash_pairs(spark, docs):
     from hdstats_spark.operators.dedup import simhash_pairs
 

@@ -154,6 +154,59 @@ def test_streaming_gapfill_equals_batch_locf(spark, transcripts, tmp_path):
     assert (got.is_gap.isin([0, 1])).all() and got.is_gap.sum() > 0
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup ≡ batch distinct-by-digest for
+    on-time data: each duplicated text is emitted exactly once across
+    micro-batches inside the watermark window."""
+    import datetime
+
+    from hdstats_spark.streaming.stream import streaming_exact_dedup
+
+    t0 = datetime.datetime(2025, 4, 1)
+    texts = ["alpha bravo", "charlie delta", "  Alpha   bravo ", "echo", "charlie delta"]
+    rows_a = [(i, t0 + datetime.timedelta(minutes=i), texts[i]) for i in range(3)]
+    rows_b = [(i + 3, t0 + datetime.timedelta(minutes=i + 3), texts[i + 3]) for i in range(2)]
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src)
+    spark.createDataFrame(rows_a, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+    base = time.time()
+    a_files = set(glob.glob(os.path.join(src, "part-*.parquet")))
+    for p in a_files:
+        os.utime(p, (base - 100, base - 100))
+    spark.createDataFrame(rows_b, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = spark.table("dd_stream").toPandas()
+    # "alpha bravo" ≡ "  Alpha   bravo "?  No: whitespace INSIDE differs and
+    # normalization is lower+trim only, so digests differ — 2 distinct rows;
+    # "charlie delta" repeats verbatim across micro-batches → 1 row
+    assert len(got) == len(set(got.digest)) == 4, got[["doc_id", "digest"]]
+    # the duplicate emitted exactly once, from its first arrival
+    dup_digest = got.set_index("doc_id").digest
+    assert 1 in dup_digest.index and 4 not in dup_digest.index
+
+
 def test_streaming_gapfill_multichunk_and_late_rows(spark, tmp_path):
     """Two hardening contracts: (a) a group whose micro-batch spans several
     Arrow chunks (forced via a tiny maxRecordsPerBatch) is sorted as a WHOLE
