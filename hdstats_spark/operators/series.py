@@ -496,7 +496,10 @@ def dtw_area_batched(
                 if l1_mode:
                     d = (np.abs(rv[: int(L)][None, :] - X).sum(axis=1) / 2.0).astype(np.float32)
                 else:
-                    step = max(1, cell_budget_bytes // (4 * (int(L) + 1) ** 2))
+                    # rolling-diagonal dist kernel: 3 f32 diagonals + the f64
+                    # cast of X ≈ 20 bytes per cell per series (no (L+1)²
+                    # tensor), so long series no longer force 1-series chunks
+                    step = max(1, cell_budget_bytes // (20 * (int(L) + 1)))
                     parts = [
                         dtw_dist_batch(X[s : s + step], rv[: int(L)], window)
                         for s in range(0, len(idx), step)

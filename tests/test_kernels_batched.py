@@ -94,6 +94,21 @@ def test_dtw_batch_equals_serial():
     npt.assert_array_equal(got2[1], np.float32(exact_short))
 
 
+def test_dtw_rolling_equals_full_fill():
+    """The O(G·n)-memory rolling-diagonal distance kernel is bit-identical
+    to the full (G, n+1, n+1) fill at EVERY window width 0..n and None."""
+    from hdstats_spark.kernels_np import _dtw_dist_rolling, _dtw_fill_batch
+
+    rng = np.random.default_rng(23)
+    for n in (1, 2, 7, 33):
+        ref = rng.normal(0.5, 0.2, n).astype(np.float32)
+        X = rng.normal(0.5, 0.2, (9, n)).astype(np.float32)
+        for w in [None] + list(range(0, n + 2)):
+            full = _dtw_fill_batch(X, ref, w)[:, n, n] / np.float32(2 * n)
+            roll = _dtw_dist_rolling(X, ref, w)
+            npt.assert_array_equal(roll, full)
+
+
 def test_dtw_path_batch_equals_optimalpath():
     """Lockstep vectorized backtrack ≡ the serial greedy optimalpath —
     bit-equal paths AND distances, full and banded (incl window=0), on the
