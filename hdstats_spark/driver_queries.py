@@ -1366,6 +1366,63 @@ def q_simhash_dups(spark, sf_dir):
     return simhash_pairs(d, max_hamming=3)
 
 
+def q_simhash_poly(spark, sf_dir):
+    """The ENTIRE SimHash pipeline DuckDB-hash-checked: token → polynomial
+    byte hash mod M31 (SQL-computable) → per-bit majority votes weighted by
+    token frequency → 31-bit fingerprint → 8/8/8/7-bit band blocking →
+    bit_count(xor) ≤ 3.  The oracle replays every step relationally (31
+    per-bit vote sums, CASE-built fingerprint, band match = OR of band
+    equalities ≡ the bucket equi-join's distinct pairs).  All-integer
+    algebra — no rounding anywhere.  The xxhash64 variant (q_simhash_dups)
+    remains the scale default; this mirror proves the vote/band/Hamming
+    algebra end-to-end through the real mapInPandas kernel."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3, hash_mode="poly31")
+
+
+def _sql_simhash_poly(max_hamming=3):
+    from .operators.dedup import _MERSENNE, simhash_band_layout
+
+    n_bits = 31
+    poly = (
+        "CASE WHEN length(tok) = 0 THEN 0 ELSE list_reduce("
+        "list_transform(range(1, length(tok) + 1), "
+        "i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)), "
+        f"(acc, x) -> (acc * 257 + x) % {_MERSENNE}) END"
+    )
+    vote_sums = ",\n         ".join(
+        f"sum((th >> {j}) & 1) AS v{j}" for j in range(n_bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN 2 * v{j} > cnt THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    band_eq = " OR ".join(
+        f"(((a.fp >> {shift}) & {mask}) = ((b.fp >> {shift}) & {mask}))"
+        for shift, mask in simhash_band_layout(n_bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, {poly} AS th FROM tok
+), v AS (
+  SELECT doc_id, count(*) AS cnt,
+         {vote_sums}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fp_expr} AS fp FROM v
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ({band_eq})
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
 def q_knn_lsh(spark, sf_dir):
     """ANN top-5 by random-hyperplane LSH + exact re-rank (rows-only; recall
     vs brute force pytest-verified)."""
@@ -1642,6 +1699,7 @@ def queries():
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_poly": q_minhash_lsh_poly,
         "simhash_dups": q_simhash_dups,
+        "simhash_poly": q_simhash_poly,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "dtw_path": q_dtw_path,
@@ -1683,6 +1741,7 @@ def oracles():
         "symmetry_vs_median": _sql_symmetry_vs_median(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_lsh_poly": _sql_minhash_lsh_poly(),
+        "simhash_poly": _sql_simhash_poly(),
         "multimodal_features": _sql_multimodal_features(),
         "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,
         "winnow_overlap": _sql_winnow_overlap(),

@@ -266,17 +266,38 @@ def dedup_embedding_lsh(
     return sims.filter(F.col("cos_sim") >= threshold)
 
 
+def simhash_bits(hash_mode: str) -> int:
+    """Fingerprint width per hash mode: xxhash64 fills all 64 bits; the
+    SQL-replicable poly31 hash lives in [0, M31) — 31 usable bits."""
+    if hash_mode == "xxhash64":
+        return 64
+    if hash_mode == "poly31":
+        return 31
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def simhash_fingerprints(
-    docs: DataFrame, id_col="doc_id", text_col="text"
+    docs: DataFrame, id_col="doc_id", text_col="text", hash_mode: str = "xxhash64"
 ) -> DataFrame:
-    """64-bit SimHash per document: token hashes come from JVM xxhash64; the
-    per-bit ±1 vote is a vectorized NumPy popcount in mapInPandas."""
-    hashed = docs.select(
-        id_col, F.transform(tokens_col(text_col), lambda t: F.xxhash64(t)).alias("th")
-    )
+    """SimHash per document: token hashes come from a JVM expression
+    (xxhash64 — 64-bit scale default — or the byte-wise polynomial mod M31,
+    which a SQL engine can replicate exactly, same trick as the
+    minhash/winnowing oracles); the per-bit ±1 vote is a vectorized NumPy
+    popcount in mapInPandas.  Token multiplicity counts (no distinct): a
+    token's vote weight is its frequency, per the classic Charikar scheme."""
+    n_bits = simhash_bits(hash_mode)
+    if hash_mode == "xxhash64":
+        th = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+    else:
+        th = F.expr(
+            f"transform(split(lower(trim({text_col})), '\\\\s+'), t -> "
+            f"aggregate(sequence(1, length(t)), 0L, "
+            f"(acc, i) -> (acc * 257 + ascii(substring(t, i, 1))) % {_MERSENNE}))"
+        )
+    hashed = docs.select(id_col, th.alias("th"))
 
     def gen(batches):
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(n_bits, dtype=np.uint64)
         for pdf in batches:
             G = len(pdf)
             if G == 0:
@@ -293,8 +314,8 @@ def simhash_fingerprints(
                 # per-bit-plane popcount: one reduceat per bit keeps memory
                 # O(total) instead of a (total, 64) matrix; votes>0 ⇔ ones
                 # outnumber zeros among the doc's token hashes
-                votes = np.empty((len(nonempty), 64), dtype=np.int64)
-                for bit in range(64):
+                votes = np.empty((len(nonempty), n_bits), dtype=np.int64)
+                for bit in range(n_bits):
                     plane = ((flat >> shifts[bit]) & _ONE_U64).astype(np.int64)
                     votes[:, bit] = np.add.reduceat(plane, starts)
                 pos = votes * 2 > lens[nonempty][:, None]
@@ -304,13 +325,31 @@ def simhash_fingerprints(
     return hashed.mapInPandas(gen, f"{id_col} long, simhash long")
 
 
+def simhash_band_layout(n_bits: int, n_bands: int = 4) -> list[tuple[int, int]]:
+    """(shift, mask) per band: n_bits split into n_bands contiguous strips
+    (widths differ by ≤1).  Any partition preserves the LSH guarantee —
+    Hamming ≤ n_bands−1 ⇒ at least one band agrees exactly."""
+    base, extra = divmod(n_bits, n_bands)
+    out, off = [], 0
+    for band in range(n_bands):
+        width = base + (1 if band < extra else 0)
+        out.append((off, (1 << width) - 1))
+        off += width
+    return out
+
+
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text"
+    docs: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: 4×16-bit band blocking (a pair within
-    Hamming ≤ 3 of 64 bits must agree exactly on ≥1 of 4 bands), verified
-    with bit_count(xor) ≤ max_hamming."""
-    fp = simhash_fingerprints(docs, id_col, text_col).cache()
+    """Near-duplicate pairs by SimHash: 4-band blocking (a pair within
+    Hamming ≤ 3 must agree exactly on ≥1 of 4 bands), verified with
+    bit_count(xor) ≤ max_hamming.  ``hash_mode="poly31"`` swaps the token
+    hash for the SQL-computable polynomial (31-bit fingerprints, 8/8/8/7-bit
+    bands) so the whole pipeline has an exact DuckDB mirror
+    (``simhash_poly`` driver query); xxhash64 remains the scale default."""
+    layout = simhash_band_layout(simhash_bits(hash_mode))
+    fp = simhash_fingerprints(docs, id_col, text_col, hash_mode).cache()
     bands = fp.select(
         id_col,
         "simhash",
@@ -318,11 +357,11 @@ def simhash_pairs(
             F.array(*[
                 F.struct(
                     F.lit(band).alias("band"),
-                    F.shiftrightunsigned("simhash", 16 * band)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned("simhash", shift)
+                    .bitwiseAND(F.lit(mask))
                     .alias("key"),
                 )
-                for band in range(4)
+                for band, (shift, mask) in enumerate(layout)
             ])
         ).alias("b"),
     ).select(id_col, "simhash", "b.band", "b.key")
@@ -331,7 +370,11 @@ def simhash_pairs(
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long").alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

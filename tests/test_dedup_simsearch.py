@@ -96,6 +96,48 @@ def test_simhash_pairs(spark, docs):
     assert len(got) < 100, len(got)
 
 
+def test_simhash_poly_mode(spark, docs):
+    """poly31 SimHash: token hash ≡ the Python polynomial fold, fingerprints
+    fit in 31 bits, the 8/8/8/7 band layout covers every bit exactly once,
+    and the planted exact dup still lands at hamming 0."""
+    from hdstats_spark.operators.dedup import (
+        _MERSENNE,
+        simhash_band_layout,
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    layout = simhash_band_layout(31)
+    covered = 0
+    for shift, mask in layout:
+        assert covered & (mask << shift) == 0  # bands disjoint
+        covered |= mask << shift
+    assert covered == (1 << 31) - 1  # and exhaustive
+
+    fp = simhash_fingerprints(docs, hash_mode="poly31").toPandas()
+    assert (fp.simhash >= 0).all() and (fp.simhash < (1 << 31)).all()
+
+    # fingerprint ≡ per-bit majority over Python-fold token hashes
+    row = docs.filter(F.col("doc_id") == 3).first()
+    ths = []
+    for tok in row["text"].strip().lower().split():
+        acc = 0
+        for ch in tok:
+            acc = (acc * 257 + ord(ch)) % _MERSENNE
+        ths.append(acc)
+    want = 0
+    for j in range(31):
+        ones = sum((t >> j) & 1 for t in ths)
+        if 2 * ones > len(ths):
+            want |= 1 << j
+    got = int(fp.set_index("doc_id").simhash.loc[3])
+    assert got == want
+
+    pairs = simhash_pairs(docs, max_hamming=3, hash_mode="poly31").toPandas()
+    ham = pairs.set_index(["id_a", "id_b"]).hamming
+    assert ham.loc[(3, 200)] == 0
+
+
 def test_simhash_votes_match_reference(spark):
     """Vectorized bit-plane votes ≡ per-bit majority definition."""
     import pandas as pd
