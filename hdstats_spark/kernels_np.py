@@ -147,6 +147,40 @@ def _dtw_fill_batch(X: np.ndarray, ref: np.ndarray, window: int | None) -> np.nd
     return D
 
 
+def _dtw_fill_band(X: np.ndarray, ref: np.ndarray, w: int) -> np.ndarray:
+    """Band-compact wavefront fill: the DP value of bordered cell (i, j) is
+    stored at B[:, i, j - i + w + 1], so each row keeps only its 2w+1 in-band
+    cells plus one ∞ guard column per side — (G, n+1, 2w+3) memory instead of
+    (G, n+1, n+1), an ~n/(2w+3)× saving for narrow bands.  Same float64 cost
+    + float32 store op order as _dtw_fill_batch, so values are bit-identical.
+
+    Anti-diagonal d maps to band column t = d - 2i + w + 1 (a stride-(-2)
+    diagonal of B); predecessors (i-1,j), (i,j-1), (i-1,j-1) live at
+    t+1 / t-1 / t in rows i-1 / i / i-1.  In-band cells have t ∈ [1, 2w+1],
+    so predecessor reads stay inside [0, 2w+2] and hit the ∞ guards exactly
+    where the bordered tensor would hold ∞."""
+    G, n = X.shape
+    r = c = n
+    Xd = X.astype(F64)
+    rd = ref.astype(F64)
+    B = np.full((G, r + 1, 2 * w + 3), np.inf, dtype=F32)
+    B[:, 0, w + 1] = 0.0  # bordered (0, 0)
+    for d in range(2, r + c + 1):
+        i0 = max(1, d - c, (d - w + 1) // 2)
+        i1 = min(r, d - 1, (d + w) // 2)
+        if i0 > i1:
+            continue
+        ii = np.arange(i0, i1 + 1)
+        jj = d - ii
+        tt = jj - ii + w + 1
+        cst = np.abs(rd[ii - 1][None, :] - Xd[:, jj - 1])
+        prev = np.minimum(
+            np.minimum(B[:, ii - 1, tt + 1], B[:, ii, tt - 1]), B[:, ii - 1, tt]
+        )
+        B[:, ii, tt] = (cst + prev).astype(F32)
+    return B
+
+
 def dtw_path_batch(
     X: np.ndarray, ref: np.ndarray, window: int | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -168,8 +202,16 @@ def dtw_path_batch(
     """
     G, n = X.shape
     r = c = n
-    D = _dtw_fill_batch(X, ref, window)
-    dist = (D[:, r, c] / np.float32(r + c)).astype(F32)
+    # narrow bands use the compact storage (guards included it is 2w+3 wide);
+    # full/wide windows fall back to the bordered tensor
+    banded = window is not None and 2 * window + 3 < c + 1
+    if banded:
+        w1 = window + 1
+        D = _dtw_fill_band(X, ref, window)
+        dist = (D[:, r, w1] / np.float32(r + c)).astype(F32)  # (r, c) → t=w+1
+    else:
+        D = _dtw_fill_batch(X, ref, window)
+        dist = (D[:, r, c] / np.float32(r + c)).astype(F32)
 
     max_steps = r + c - 1  # a path visits at most r+c-1 cells
     I = np.empty((G, max_steps), dtype=np.int32)
@@ -183,10 +225,16 @@ def dtw_path_batch(
     while active.size:
         ia, ja = i[active], j[active]
         # bordered-coord predecessors of inner cell (ia, ja) — same indexing
-        # as optimalpath: diag=D[i,j], up=D[i,j+1], left=D[i+1,j]
-        diag = D[active, ia, ja]
-        up = D[active, ia, ja + 1]
-        left = D[active, ia + 1, ja]
+        # as optimalpath: diag=D[i,j], up=D[i,j+1], left=D[i+1,j]; path cells
+        # are in-band, so band-layout reads stay inside the guard columns
+        if banded:
+            diag = D[active, ia, ja - ia + w1]
+            up = D[active, ia, ja - ia + w1 + 1]
+            left = D[active, ia + 1, ja - ia + w1 - 1]
+        else:
+            diag = D[active, ia, ja]
+            up = D[active, ia, ja + 1]
+            left = D[active, ia + 1, ja]
         take_diag = (diag <= up) & (diag <= left)
         take_up = ~take_diag & (up <= left) & (up <= diag)
         di = take_diag | take_up
