@@ -1449,6 +1449,39 @@ def q_knn_ivf(spark, sf_dir):
     )
 
 
+def q_knn_ivf_exact(spark, sf_dir):
+    """IVF ANN driven through its degenerate-exact setting — nlist=1 puts
+    the whole corpus in one inverted list and nprobe=1 probes it, so the
+    k-means codebook, the GEMM assignment, the list equi-join and the exact
+    re-rank run end-to-end yet the result is provably brute-force top-k —
+    DuckDB-hash-checkable (the knn_cosine oracle, ranking on the 6-dp
+    rounded similarity exactly as the IVF re-rank does).  The sampled-
+    codebook nlist=16/nprobe=12 variant (q_knn_ivf) stays the scale default;
+    this mirror proves the join/re-rank/top-k algebra."""
+    from .operators.simsearch import knn_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5),
+        topk=5, nlist=1, nprobe=1,
+    )
+
+
+def _sql_knn_ivf_exact(k=5, n_queries=5):
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {n_queries}),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk
+FROM sims QUALIFY rnk <= {k}
+"""
+
+
 def q_dtw_path(spark, sf_dir):
     """Full DTW artifacts (dtw.pyx:89-121): banded DTW of each user's hourly
     series vs the area median curve, returning the OPTIMAL WARP PATH as
@@ -1702,6 +1735,7 @@ def queries():
         "simhash_poly": q_simhash_poly,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_exact": q_knn_ivf_exact,
         "dtw_path": q_dtw_path,
         "winnow_overlap": q_winnow_overlap,
         "multimodal_features": q_multimodal_features,
@@ -1742,6 +1776,7 @@ def oracles():
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_lsh_poly": _sql_minhash_lsh_poly(),
         "simhash_poly": _sql_simhash_poly(),
+        "knn_ivf_exact": _sql_knn_ivf_exact(),
         "multimodal_features": _sql_multimodal_features(),
         "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,
         "winnow_overlap": _sql_winnow_overlap(),

@@ -195,6 +195,29 @@ def test_knn_ivf_recall(spark):
     assert got == got2
 
 
+def test_knn_ivf_nlist1_is_exact(spark):
+    """nlist=1 collapses IVF to brute force: one inverted list holds the
+    whole corpus, so the top-k through the codebook/assign/join/re-rank
+    machinery must equal the brute-force baseline pair-for-pair (the
+    property the DuckDB-hash-green knn_ivf_exact driver query relies on)."""
+    import pandas as pd
+
+    from hdstats_spark.driver_queries import q_knn_cosine
+    from hdstats_spark.operators.simsearch import knn_ivf
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    exact = q_knn_cosine(spark, sf, k=5, n_queries=5).toPandas()
+    got = knn_ivf(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        topk=5, nlist=1, nprobe=1,
+    ).toPandas()
+    cols = ["query_id", "neighbor_id", "cos_sim", "rnk"]
+    a = exact[cols].sort_values(cols).reset_index(drop=True)
+    b = got[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_embedding_dedup_lsh_recall(spark):
     from hdstats_spark.driver_queries import q_embedding_dups
     from hdstats_spark.operators.dedup import dedup_embedding_lsh
