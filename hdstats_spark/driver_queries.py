@@ -793,6 +793,38 @@ def q_embedding_dups_lsh(spark, sf_dir, threshold=0.4):
     return dedup_embedding_lsh(e, dim, threshold=threshold, tables=32, target_bucket=16)
 
 
+def q_embedding_dups_lsh_exact(spark, sf_dir, threshold=0.4):
+    """dedup_embedding_lsh driven through its degenerate-exact setting —
+    k=0 hyperplanes put every vector in one bucket (signature 0), so the
+    bucket self-join, candidate distinct and GEMM re-rank all execute yet
+    cover every pair exactly once — DuckDB-hash-checkable with the same
+    all-pairs oracle as the exact GEMM variant.  The auto-sized bucketed
+    variant (q_embedding_dups_lsh) stays the scale default; this mirror
+    proves the self-join/re-rank/τ-filter algebra."""
+    from .operators.dedup import dedup_embedding_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return dedup_embedding_lsh(e, dim, threshold=threshold, k=0, tables=1)
+
+
+def q_knn_lsh_exact(spark, sf_dir):
+    """knn_lsh driven through its degenerate-exact setting — k=0, tables=1
+    collapses every signature to 0, the bucket equi-join yields all
+    query×corpus pairs, and the exact re-rank + top-k is provably brute
+    force — DuckDB-hash-checkable (same rounded-sim ranking oracle as
+    knn_ivf_exact).  The k=4/tables=32 variant (q_knn_lsh) stays the scale
+    default."""
+    from .operators.simsearch import knn_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    return knn_lsh(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), dim,
+        topk=5, k=0, tables=1,
+    )
+
+
 def q_dist_to_centroid(spark, sf_dir):
     """Per-observation distance table (reference cosdist/eucdist,
     ts.pyx:56-114 — the (m,q,n) PER-TIME output, not its median): euclidean +
@@ -1736,6 +1768,8 @@ def queries():
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_exact": q_knn_ivf_exact,
+        "knn_lsh_exact": q_knn_lsh_exact,
+        "embedding_dups_lsh_exact": q_embedding_dups_lsh_exact,
         "dtw_path": q_dtw_path,
         "winnow_overlap": q_winnow_overlap,
         "multimodal_features": q_multimodal_features,
@@ -1777,6 +1811,8 @@ def oracles():
         "minhash_lsh_poly": _sql_minhash_lsh_poly(),
         "simhash_poly": _sql_simhash_poly(),
         "knn_ivf_exact": _sql_knn_ivf_exact(),
+        "knn_lsh_exact": _sql_knn_ivf_exact(),
+        "embedding_dups_lsh_exact": _sql_embedding_dups(),
         "multimodal_features": _sql_multimodal_features(),
         "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,
         "winnow_overlap": _sql_winnow_overlap(),

@@ -218,6 +218,43 @@ def test_knn_ivf_nlist1_is_exact(spark):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_lsh_k0_is_exact(spark):
+    """k=0 hyperplanes ⇒ every signature is 0 ⇒ one bucket: knn_lsh equals
+    the brute-force baseline and dedup_embedding_lsh equals the exact GEMM
+    dedup, pair-for-pair (the property behind the knn_lsh_exact /
+    embedding_dups_lsh_exact DuckDB-green driver queries)."""
+    import pandas as pd
+
+    from hdstats_spark.driver_queries import q_embedding_dups, q_knn_cosine
+    from hdstats_spark.operators.dedup import dedup_embedding_lsh
+    from hdstats_spark.operators.simsearch import knn_lsh
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+
+    exact = q_knn_cosine(spark, sf, k=5, n_queries=5).toPandas()
+    got = knn_lsh(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5),
+        dim, topk=5, k=0, tables=1,
+    ).toPandas()
+    cols = ["query_id", "neighbor_id", "cos_sim", "rnk"]
+    pd.testing.assert_frame_equal(
+        exact[cols].sort_values(cols).reset_index(drop=True),
+        got[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    exact_d = q_embedding_dups(spark, sf, threshold=0.4).toPandas()
+    got_d = dedup_embedding_lsh(emb, dim, threshold=0.4, k=0, tables=1).toPandas()
+    cols = ["id_a", "id_b", "cos_sim"]
+    pd.testing.assert_frame_equal(
+        exact_d[cols].sort_values(cols).reset_index(drop=True),
+        got_d[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_embedding_dedup_lsh_recall(spark):
     from hdstats_spark.driver_queries import q_embedding_dups
     from hdstats_spark.operators.dedup import dedup_embedding_lsh
