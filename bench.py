@@ -52,12 +52,14 @@ HEADLINE = [
     "symmetry_vs_median",
     "minhash_lsh_poly",
     "simhash_poly",
-    # degenerate-exact mirrors of the three approximate similarity families
-    # (one-bucket / one-list settings — the same join+re-rank plans their
-    # scale defaults run, so their cost is representative, and hash-checked)
+    # degenerate-exact mirrors of the approximate kNN families (one-bucket /
+    # one-list settings — the same join+re-rank plans their scale defaults
+    # run, so their cost is representative, and hash-checked).
+    # embedding_dups_lsh_exact is deliberately NOT benched: its k=0 setting
+    # materializes all O(N²) candidate pairs as join rows — a correctness
+    # mirror, not a perf path (the driver still hash-checks it at sf0.01).
     "knn_ivf_exact",
     "knn_lsh_exact",
-    "embedding_dups_lsh_exact",
     "multimodal_features",
     # re-admitted with the max_doc_freq=200 hot-shingle cap: the synthetic
     # 30-word vocabulary makes every bigram hot at sf0.1, and the cap bounds
