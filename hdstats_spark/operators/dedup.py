@@ -288,14 +288,20 @@ def simhash_bits(hash_mode: str) -> int:
 
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col="doc_id", text_col="text", hash_mode: str = "xxhash64"
+    docs: DataFrame, id_col="doc_id", text_col="text", hash_mode: str = "xxhash64",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """SimHash per document: token hashes come from a JVM expression
     (xxhash64 — 64-bit scale default — or the byte-wise polynomial mod M31,
     which a SQL engine can replicate exactly, same trick as the
     minhash/winnowing oracles); the per-bit ±1 vote is a vectorized NumPy
     popcount in mapInPandas.  Token multiplicity counts (no distinct): a
-    token's vote weight is its frequency, per the classic Charikar scheme."""
+    token's vote weight is its frequency, per the classic Charikar scheme.
+
+    ``keep_cols`` are carried through unchanged (e.g. the event-time column
+    for the streaming near-dup operator — mapInPandas is stateless, so the
+    same kernel serves batch and stream)."""
+    keep = list(keep_cols or [])
     n_bits = simhash_bits(hash_mode)
     if hash_mode == "xxhash64":
         th = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
@@ -305,7 +311,7 @@ def simhash_fingerprints(
             f"aggregate(sequence(1, length(t)), 0L, "
             f"(acc, i) -> (acc * 257 + ascii(substring(t, i, 1))) % {_MERSENNE}))"
         )
-    hashed = docs.select(id_col, th.alias("th"))
+    hashed = docs.select(id_col, *keep, th.alias("th"))
 
     def gen(batches):
         shifts = np.arange(n_bits, dtype=np.uint64)
@@ -331,9 +337,17 @@ def simhash_fingerprints(
                     votes[:, bit] = np.add.reduceat(plane, starts)
                 pos = votes * 2 > lens[nonempty][:, None]
                 fps[nonempty] = (pos.astype(np.uint64) << shifts[None, :]).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps.view(np.int64)})
+            out = {id_col: pdf[id_col]}
+            out.update({c: pdf[c] for c in keep})
+            out["simhash"] = fps.view(np.int64)
+            yield pd.DataFrame(out)
 
-    return hashed.mapInPandas(gen, f"{id_col} long, simhash long")
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in docs.schema.fields
+        if f.name in keep
+    )
+    return hashed.mapInPandas(gen, f"{id_col} long{keep_schema}, simhash long")
 
 
 def simhash_band_layout(n_bits: int, n_bands: int = 4) -> list[tuple[int, int]]:

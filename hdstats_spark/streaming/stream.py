@@ -186,6 +186,129 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_neardup_simhash(
+    doc_stream: DataFrame,
+    max_hamming: int = 3,
+    watermark: str = "10 minutes",
+    state_ttl_seconds: int = 3600,
+    max_state_docs: int = 256,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection — the online counterpart of the
+    batch ``simhash_pairs`` operator, same blocking algebra:
+
+      1. stateless fingerprinting: the batch SimHash mapInPandas kernel runs
+         unchanged on the stream (simhash_fingerprints with the event-time
+         column carried through);
+      2. each doc explodes into its 4 16-bit band keys (a pair within
+         Hamming ≤ 3 must agree on ≥1 band — the batch operator's guarantee,
+         reused verbatim);
+      3. an ``applyInPandasWithState`` index keyed by (band, key): state is
+         the (doc_id, fingerprint) list seen in that bucket; each arriving
+         doc is verified with a vectorized XOR-popcount against the bucket's
+         fingerprints, emitting (id_a, id_b, hamming, ts) for every match,
+         then appended to the bucket.
+
+    A pair agreeing on several bands is emitted once per agreeing band —
+    pipe through dedup_pairs_within_watermark (or any downstream distinct)
+    when exact-once pairs matter; the equivalence test normalizes sets.
+
+    Scale: state per (band, key) bucket is ≤ max_state_docs (id, fp) longs —
+    hot buckets degrade to most-recent-docs recall rather than unbounded
+    state — and EventTimeTimeout reclaims buckets idle past
+    ``state_ttl_seconds`` beyond the watermark, so total state is bounded by
+    the live-bucket count, hash-partitioned on the band key exactly like the
+    batch self-join.  A dup arriving later than the TTL is the batch
+    reroll/backfill path's job, the same late-data contract as
+    streaming_gapfill and streaming_exact_dedup."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import simhash_band_layout, simhash_fingerprints
+
+    fp = simhash_fingerprints(doc_stream, id_col, text_col, keep_cols=[ts_col])
+    layout = simhash_band_layout(64)
+    banded = fp.select(
+        id_col,
+        ts_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.shiftrightunsigned("simhash", shift)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for band, (shift, mask) in enumerate(layout)
+            ])
+        ).alias("b"),
+    ).select(id_col, ts_col, "simhash", "b.band", "b.key")
+
+    out_schema = f"id_a long, id_b long, hamming long, {ts_col} timestamp"
+    state_schema = "ids array<long>, fps array<long>, last_ms long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            return
+        pdf = (pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)).sort_values(
+            [ts_col, id_col]
+        )
+        if state.exists:
+            ids, fps, last_ms = state.get
+            ids = list(ids)
+            fps = list(fps)
+        else:
+            ids, fps, last_ms = [], [], 0
+        new_ids = pdf[id_col].to_numpy(dtype=np.int64)
+        new_fps = pdf["simhash"].to_numpy(dtype=np.int64)
+        new_ts = pdf[ts_col].to_numpy("datetime64[us]")
+        out_a, out_b, out_h, out_t = [], [], [], []
+        for i in range(len(new_ids)):
+            if fps:
+                x = np.asarray(fps, dtype=np.int64).view(np.uint64) ^ np.int64(
+                    new_fps[i]
+                ).view(np.uint64)
+                # XOR-popcount Hamming (numpy<2 has no bitwise_count):
+                # unpack each uint64's 8 bytes to bits and sum per word
+                ham = (
+                    np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1).astype(np.int64)
+                )
+                hit = np.nonzero(ham <= max_hamming)[0]
+                for j in hit:
+                    out_a.append(ids[j])
+                    out_b.append(int(new_ids[i]))
+                    out_h.append(int(ham[j]))
+                    out_t.append(new_ts[i])
+            ids.append(int(new_ids[i]))
+            fps.append(int(new_fps[i]))
+        if len(ids) > max_state_docs:  # hot bucket: keep the most recent
+            ids = ids[-max_state_docs:]
+            fps = fps[-max_state_docs:]
+        last_ms = max(int(last_ms), int(new_ts.max().astype("int64") // 1000))
+        state.update((ids, fps, last_ms))
+        state.setTimeoutTimestamp(last_ms + state_ttl_seconds * 1000)
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "hamming": out_h, ts_col: out_t}
+            )
+
+    return (
+        banded.withWatermark(ts_col, watermark)
+        .groupBy("band", "key")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_dir: str, checkpoint: str, name: str = "tier_1m_stream",
     watermark: str = "10 minutes",

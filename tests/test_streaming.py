@@ -276,3 +276,79 @@ def test_streaming_gapfill_multichunk_and_late_rows(spark, tmp_path):
     assert byv[31] == 131.0 and byv[34] == 131.0 and byv[35] == 135.0
     obs = {0, 1, 2, 3, 5, 7, 9, 12, 15, 20, 25, 30, 31, 35}
     assert set(got.loc[got.is_gap == 0].index.map(mins)) == obs
+
+
+def test_streaming_neardup_simhash_equals_batch(spark, tmp_path):
+    """Streamed SimHash near-dup pairs ≡ batch simhash_pairs on the same
+    corpus (as normalized {pair: hamming} sets): the same fingerprint kernel
+    and band layout run over two micro-batches with all docs inside the
+    state TTL, so every batch pair must be found online — including pairs
+    whose two sides arrive in DIFFERENT micro-batches — with identical
+    Hamming distances, and no extra pairs."""
+    import datetime
+
+    import numpy as np
+
+    from hdstats_spark.operators.dedup import simhash_pairs
+    from hdstats_spark.streaming.stream import streaming_neardup_simhash
+
+    rng = np.random.default_rng(5)
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    t0 = datetime.datetime(2025, 4, 1)
+    rows = []
+    for i in range(40):
+        words = [vocab[x] for x in rng.integers(0, len(vocab), size=40)]
+        rows.append((i, t0 + datetime.timedelta(minutes=i), " ".join(words)))
+    # near-dups of docs 0..7 (2-word edits) arriving in the SECOND batch
+    for i in range(8):
+        words = rows[i][2].split()
+        words[5] = "zulu"
+        words[20] = "yankee"
+        rows.append((100 + i, t0 + datetime.timedelta(minutes=60 + i), " ".join(words)))
+    rows.append((200, t0 + datetime.timedelta(minutes=70), rows[3][2]))  # exact dup
+
+    docs = spark.createDataFrame(rows, ["doc_id", "ts", "text"])
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    first = [r for r in rows if r[0] < 100]
+    second = [r for r in rows if r[0] >= 100]
+    spark.createDataFrame(first, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+    base = time.time()
+    for p in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(p, (base - 100, base - 100))
+    spark.createDataFrame(second, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_neardup_simhash(stream, max_hamming=3, watermark="1 hour", state_ttl_seconds=86400)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = spark.table("nd_stream").toPandas()
+    streamed = {
+        (min(a, b), max(a, b)): h
+        for a, b, h in zip(got.id_a, got.id_b, got.hamming)
+    }
+    batch = simhash_pairs(docs.select("doc_id", "text"), max_hamming=3).toPandas()
+    expect = {
+        (min(a, b), max(a, b)): h
+        for a, b, h in zip(batch.id_a, batch.id_b, batch.hamming)
+    }
+    assert streamed == expect, (streamed, expect)
+    assert (3, 200) in streamed and streamed[(3, 200)] == 0  # cross-batch exact dup
