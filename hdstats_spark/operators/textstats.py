@@ -77,7 +77,10 @@ def fingerprint_overlap_pairs(
     join.  ``max_doc_freq`` drops fingerprints present in more than that many
     documents (standard winnowing practice: ubiquitous fragments carry no
     signal and would blow the self-join up quadratically)."""
-    fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    # cached: the fingerprint mapInPandas otherwise re-runs for every
+    # consumer (hot-filter, size agg, both self-join sides) — same pattern
+    # as shingle_jaccard_pairs' shingle table
+    fp = winnow_fingerprints(docs, k, w, id_col, text_col).cache()
     if max_doc_freq is not None:
         hot = (
             fp.groupBy("fingerprint").count().filter(F.col("count") > max_doc_freq)
@@ -85,7 +88,7 @@ def fingerprint_overlap_pairs(
         )
         # unhinted: hot-fingerprint count grows with the corpus; AQE
         # broadcasts it when genuinely small
-        fp = fp.join(hot, "fingerprint", "left_anti")
+        fp = fp.join(hot, "fingerprint", "left_anti").cache()
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
