@@ -1139,7 +1139,7 @@ def q_dtw_diag_path(spark, sf_dir):
 
     from .kernels_np import dtw_path_batch
     from .operators.gapfill import densify
-    from .operators.series import _equal_length_stacks, series_table
+    from .operators.series import _padded_stack, series_table
 
     tier = (
         _event_buckets(spark, sf_dir, "hour")
@@ -1158,26 +1158,29 @@ def q_dtw_diag_path(spark, sf_dir):
     def gen(batches):
         rv = bref.value
         for pdf in batches:
-            for ids, X in _equal_length_stacks(pdf, "n_events", "conv_id"):
-                L = X.shape[1]
-                dist, plens, ii, jj = dtw_path_batch(
-                    X, rv[:L].astype(np.float32), window=0
-                )
-                pos = np.arange(int(plens.sum()), dtype=np.int64)
-                starts = np.cumsum(plens) - plens
-                step = (pos - np.repeat(starts, plens)).astype(np.int32)
-                # dist·2n is an exact multiple of 0.5 (integer grid, median
-                # of integers) — un-normalize and snap away the f32 division
-                snapped = np.round(dist.astype(np.float64) * 2 * L * 2) / 2
-                yield pd.DataFrame(
-                    {
-                        "user_id": np.repeat(ids, plens),
-                        "step": step,
-                        "i": ii,
-                        "j": jj,
-                        "dtw_diag": np.repeat(snapped, plens),
-                    }
-                )
+            if len(pdf) == 0:
+                continue
+            # one padded fill+backtrack per batch; per-series corner capture
+            ids, X, lens = _padded_stack(pdf, "n_events", "conv_id")
+            n_max = X.shape[1]
+            dist, plens, ii, jj = dtw_path_batch(
+                X, rv[:n_max].astype(np.float32), window=0, lengths=lens
+            )
+            pos = np.arange(int(plens.sum()), dtype=np.int64)
+            starts = np.cumsum(plens) - plens
+            step = (pos - np.repeat(starts, plens)).astype(np.int32)
+            # dist·2n is an exact multiple of 0.5 (integer grid, median
+            # of integers) — un-normalize and snap away the f32 division
+            snapped = np.round(dist.astype(np.float64) * 2 * lens * 2) / 2
+            yield pd.DataFrame(
+                {
+                    "user_id": np.repeat(ids, plens),
+                    "step": step,
+                    "i": ii,
+                    "j": jj,
+                    "dtw_diag": np.repeat(snapped, plens),
+                }
+            )
 
     return st.mapInPandas(
         gen, "user_id string, step int, i int, j int, dtw_diag double"
@@ -1527,7 +1530,7 @@ def q_dtw_path(spark, sf_dir):
     import pandas as pd
 
     from .kernels_np import dtw_path_batch
-    from .operators.series import _equal_length_stacks, series_table
+    from .operators.series import _padded_stack, series_table
 
     dense, _ = _dense_event_series(spark, sf_dir)
     ref = _area_median_curve(dense, "n_events")
@@ -1539,20 +1542,28 @@ def q_dtw_path(spark, sf_dir):
     def gen(batches):
         rv = bref.value
         for pdf in batches:
-            for ids, X in _equal_length_stacks(pdf, "n_events", "conv_id"):
-                L = X.shape[1]
-                dist, plens, ii, jj = dtw_path_batch(X, rv[:L].astype(np.float32), window=8)
-                pos = np.arange(int(plens.sum()), dtype=np.int64)
-                starts = np.cumsum(plens) - plens
-                yield pd.DataFrame(
-                    {
-                        "conv_id": np.repeat(ids, plens),
-                        "step": (pos - np.repeat(starts, plens)).astype(np.int32),
-                        "i": ii,
-                        "j": jj,
-                        "dtw_dist": np.repeat(dist, plens),
-                    }
-                )
+            if len(pdf) == 0:
+                continue
+            # ONE padded fill+backtrack per Arrow batch: every conversation
+            # has its own length on real data, so per-length-class batching
+            # degenerated to G=1-2 kernel calls; corner capture at each
+            # series' own (L, L) keeps results bit-equal (kernels_np)
+            ids, X, lens = _padded_stack(pdf, "n_events", "conv_id")
+            n_max = X.shape[1]
+            dist, plens, ii, jj = dtw_path_batch(
+                X, rv[:n_max].astype(np.float32), window=8, lengths=lens
+            )
+            pos = np.arange(int(plens.sum()), dtype=np.int64)
+            starts = np.cumsum(plens) - plens
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(ids, plens),
+                    "step": (pos - np.repeat(starts, plens)).astype(np.int32),
+                    "i": ii,
+                    "j": jj,
+                    "dtw_dist": np.repeat(dist, plens),
+                }
+            )
 
     return st.mapInPandas(
         gen, "conv_id string, step int, i int, j int, dtw_dist float"

@@ -182,7 +182,10 @@ def _dtw_fill_band(X: np.ndarray, ref: np.ndarray, w: int) -> np.ndarray:
 
 
 def dtw_path_batch(
-    X: np.ndarray, ref: np.ndarray, window: int | None = None
+    X: np.ndarray,
+    ref: np.ndarray,
+    window: int | None = None,
+    lengths: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Batched banded DTW of every series X[g] (G, n) to ``ref`` (n,) WITH the
     optimal warp path — the batched analogue of the reference's full ``dtw``
@@ -195,6 +198,12 @@ def dtw_path_batch(
     to the serial greedy backtrack.  Python-level work is O(max path length)
     iterations, not O(G · path length).
 
+    ``lengths`` lets mixed-length series share the padded grid: each series'
+    distance is read at its own corner (L, L) and its backtrack starts at
+    inner (L−1, L−1) — the DP region ≤ (L, L) never sees pad values (see
+    _dtw_dist_rolling), so distances AND paths are bit-equal to unpadded
+    per-length fills.
+
     Returns ``(dist (G,) f32, path_len (G,) i64, ii (total,) i32,
     jj (total,) i32)`` with the per-series paths concatenated in series order,
     each in FORWARD order (step 0 first) and 0-based inner coordinates — the
@@ -202,22 +211,24 @@ def dtw_path_batch(
     """
     G, n = X.shape
     r = c = n
+    lens = np.full(G, n, dtype=np.int64) if lengths is None else np.asarray(lengths, np.int64)
     # narrow bands use the compact storage (guards included it is 2w+3 wide);
     # full/wide windows fall back to the bordered tensor
     banded = window is not None and 2 * window + 3 < c + 1
     if banded:
         w1 = window + 1
         D = _dtw_fill_band(X, ref, window)
-        dist = (D[:, r, w1] / np.float32(r + c)).astype(F32)  # (r, c) → t=w+1
+        # corner (L, L) of each series in band coords: row L, t = w+1
+        dist = (D[np.arange(G), lens, w1] / (2 * lens).astype(F32)).astype(F32)
     else:
         D = _dtw_fill_batch(X, ref, window)
-        dist = (D[:, r, c] / np.float32(r + c)).astype(F32)
+        dist = (D[np.arange(G), lens, lens] / (2 * lens).astype(F32)).astype(F32)
 
     max_steps = r + c - 1  # a path visits at most r+c-1 cells
     I = np.empty((G, max_steps), dtype=np.int32)
     J = np.empty((G, max_steps), dtype=np.int32)
-    i = np.full(G, r - 1, dtype=np.int64)
-    j = np.full(G, c - 1, dtype=np.int64)
+    i = lens - 1
+    j = lens - 1
     I[:, 0] = i
     J[:, 0] = j
     steps = np.ones(G, dtype=np.int64)
@@ -255,7 +266,12 @@ def dtw_path_batch(
     return dist, steps, I[row, col], J[row, col]
 
 
-def _dtw_dist_rolling(X: np.ndarray, ref: np.ndarray, window: int | None) -> np.ndarray:
+def _dtw_dist_rolling(
+    X: np.ndarray,
+    ref: np.ndarray,
+    window: int | None,
+    lengths: np.ndarray | None = None,
+) -> np.ndarray:
     """Distance-only DP over THREE ROLLING DIAGONALS — O(G·n) memory instead
     of the full (G, n+1, n+1) tensor (400 MB for ONE series at n=10⁴), same
     float32 op order as _dtw_fill_batch so results stay bit-identical.
@@ -263,12 +279,23 @@ def _dtw_dist_rolling(X: np.ndarray, ref: np.ndarray, window: int | None) -> np.
     Buffer invariant: before diagonal d writes rows [i0, i1] of its buffer,
     it inf-fills [i0-1, i1+1]; diagonals d+1/d+2 only read rows inside that
     strip (i0 is non-decreasing and i1 grows by ≤1 per d), so stale values
-    from the buffer's previous life (diagonal d-3) are never read."""
+    from the buffer's previous life (diagonal d-3) are never read.
+
+    ``lengths`` lets series of DIFFERENT true lengths share one padded grid:
+    the DP value at corner (L, L) depends only on cells (i ≤ L, j ≤ L),
+    whose costs read only x[:L] and ref[:L] — pad values never reach them —
+    so each series' distance is captured when the wavefront crosses its own
+    corner diagonal d = 2L, bit-identical to an unpadded (L, L) fill.  This
+    is what makes one kernel call per Arrow batch possible when every
+    conversation has its own length (per-length-class batching degenerated
+    to G=1-2 stacks on real data)."""
     G, n = X.shape
     r = c = n
+    lens = np.full(G, n, dtype=np.int64) if lengths is None else np.asarray(lengths, np.int64)
     w = r + c if window is None else int(window)
     Xd = X.astype(F64)
     rd = ref.astype(F64)
+    out = np.empty(G, dtype=F32)
     buf = [np.full((G, r + 1), np.inf, dtype=F32) for _ in range(3)]
     buf[0][:, 0] = 0.0  # D[0,0]; d=1 cells (0,1),(1,0) stay +inf in buf[1]
     for d in range(2, r + c + 1):
@@ -289,7 +316,11 @@ def _dtw_dist_rolling(X: np.ndarray, ref: np.ndarray, window: int | None) -> np.
             np.minimum(prev1[:, ii - 1], prev1[:, ii]), prev2[:, ii - 1]
         )
         cur[:, i0 : i1 + 1] = (cst + prev).astype(F32)
-    return buf[(r + c) % 3][:, r] / np.float32(r + c)
+        # series whose corner (L, L) sits on this diagonal are done
+        hit = np.nonzero(2 * lens == d)[0]
+        if hit.size:
+            out[hit] = cur[hit, lens[hit]]
+    return out / (2 * lens).astype(F32)
 
 
 def dtw_dist_batch(
@@ -308,18 +339,11 @@ def dtw_dist_batch(
     instead of O(r·c) per series.
 
     ``lengths`` restricts each series (and the reference) to its true prefix
-    length; shorter series are handled by masking cells beyond their extent.
+    length — mixed-length series share one padded wavefront and each
+    distance is captured at its own corner diagonal (see _dtw_dist_rolling),
+    bit-identical to an unpadded per-length fill.
     """
-    G, n = X.shape
-    lens = np.full(G, n, dtype=np.int64) if lengths is None else np.asarray(lengths, np.int64)
-    out = _dtw_dist_rolling(X, ref, window)
-    # series shorter than the grid: recompute their distances on the true
-    # prefix (rare; the dense grid makes lengths equal per chunk)
-    short = np.nonzero(lens < n)[0]
-    for g in short:
-        L = int(lens[g])
-        out[g] = dtw_dist_batch(X[g : g + 1, :L], ref[:L], window)[0]
-    return out.astype(F32)
+    return _dtw_dist_rolling(X, ref, window, lengths).astype(F32)
 
 
 def fourier_batch(X: np.ndarray, n: int = 3, step: int = 5) -> dict[str, np.ndarray]:

@@ -278,6 +278,23 @@ def number_peaks_agg(
     return series_df.mapInPandas(gen, f"{key_col} string, n_peaks int")
 
 
+def _padded_stack(pdf: pd.DataFrame, value_col: str, key_col: str, dtype=np.float32):
+    """(ids, X (G, n_max) zero-padded, lens) — the batch shape for kernels
+    whose semantics depend only on each series' true prefix (DTW corner
+    capture): one kernel call per Arrow batch regardless of how many
+    distinct lengths the batch holds.  Contrast _equal_length_stacks, needed
+    where the transform length is semantic (FFT).  ``dtype`` preserves each
+    caller's float discipline (the path query feeds float32, the area query
+    raw float64)."""
+    lens = pdf["n"].to_numpy(dtype=np.int64)
+    vals = pdf[value_col].to_numpy()
+    ids = pdf[key_col].to_numpy()
+    X = np.zeros((len(lens), int(lens.max())), dtype=dtype)
+    for g, v in enumerate(vals):
+        X[g, : lens[g]] = np.asarray(v[: lens[g]], dtype=dtype)
+    return ids, X, lens
+
+
 def _equal_length_stacks(pdf: pd.DataFrame, value_col: str, key_col: str):
     """Yield (ids, X) with X a (G_L, L) float32 stack per distinct series
     length — the padding-free batch shape for FFT-style kernels where the
@@ -486,29 +503,36 @@ def dtw_area_batched(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vals = pdf[value_col].to_numpy()
-            lens = pdf["n"].to_numpy()
-            ids = pdf[key_col].to_numpy()
-            out_ids, out_d = [], []
-            for L in np.unique(lens):
-                idx = np.nonzero(lens == L)[0]
-                X = np.stack([np.asarray(vals[i][: int(L)], dtype=np.float64) for i in idx])
-                if l1_mode:
+            if l1_mode:
+                # L1/2 needs the exact prefix per length (cheap O(G·L) sums)
+                vals = pdf[value_col].to_numpy()
+                lens = pdf["n"].to_numpy()
+                ids = pdf[key_col].to_numpy()
+                out_ids, out_d = [], []
+                for L in np.unique(lens):
+                    idx = np.nonzero(lens == L)[0]
+                    X = np.stack([np.asarray(vals[i][: int(L)], dtype=np.float64) for i in idx])
                     d = (np.abs(rv[: int(L)][None, :] - X).sum(axis=1) / 2.0).astype(np.float32)
-                else:
-                    # rolling-diagonal dist kernel: 3 f32 diagonals + the f64
-                    # cast of X ≈ 20 bytes per cell per series (no (L+1)²
-                    # tensor), so long series no longer force 1-series chunks
-                    step = max(1, cell_budget_bytes // (20 * (int(L) + 1)))
-                    parts = [
-                        dtw_dist_batch(X[s : s + step], rv[: int(L)], window)
-                        for s in range(0, len(idx), step)
-                    ]
-                    d = np.concatenate(parts)
-                out_ids.append(ids[idx])
-                out_d.append(d)
-            yield pd.DataFrame(
-                {key_col: np.concatenate(out_ids), "dtw_dist": np.concatenate(out_d)}
-            )
+                    out_ids.append(ids[idx])
+                    out_d.append(d)
+                yield pd.DataFrame(
+                    {key_col: np.concatenate(out_ids), "dtw_dist": np.concatenate(out_d)}
+                )
+                continue
+            # one padded wavefront per chunk: mixed lengths share the grid
+            # and each distance is captured at its own corner (bit-identical
+            # — see _dtw_dist_rolling), so per-length fragmentation (real
+            # data gives G=1-2 per distinct length) costs nothing.  Budget:
+            # 3 f32 diagonals + the f64 cast ≈ 20 bytes per cell per series.
+            ids, X, lens = _padded_stack(pdf, value_col, key_col, dtype=np.float64)
+            n_max = X.shape[1]
+            step = max(1, cell_budget_bytes // (20 * (n_max + 1)))
+            parts = [
+                dtw_dist_batch(
+                    X[s : s + step], rv[:n_max], window, lengths=lens[s : s + step]
+                )
+                for s in range(0, len(ids), step)
+            ]
+            yield pd.DataFrame({key_col: ids, "dtw_dist": np.concatenate(parts)})
 
     return series_df.mapInPandas(gen, f"{key_col} string, dtw_dist float")

@@ -168,6 +168,25 @@ def test_dtw_path_batch_equals_optimalpath():
             npt.assert_array_equal(ii[off : off + L], ps[0])
             npt.assert_array_equal(jj[off : off + L], ps[1])
             off += L
+    # MIXED LENGTHS on one padded grid: distances read at each series' own
+    # corner, backtracks start at its own (L-1, L-1) — bit-equal to the
+    # serial kernels on the unpadded prefixes (incl. banded storage, w=0)
+    lens = np.array([n, n - 5, n - 1, 7, 1], dtype=np.int64)
+    Xm = np.zeros((len(lens), n), dtype=np.float32)
+    for g, L in enumerate(lens):
+        Xm[g, :L] = rng.normal(0.5, 0.2, int(L)).astype(np.float32)
+    for w in (None, 0, 3, 8):
+        dist, plens, ii, jj = dtw_path_batch(Xm, ref, window=w, lengths=lens)
+        off = 0
+        for g, L in enumerate(lens):
+            a = ref[: int(L)].astype(np.float64).reshape(-1, 1)
+            b = Xm[g, : int(L)].astype(np.float64).reshape(-1, 1)
+            ds, _D, ps = hdo.dtw(a, b) if w is None else hdo.local_dtw(a, b, w)
+            P = int(plens[g])
+            npt.assert_array_equal(dist[g], np.float32(ds))
+            npt.assert_array_equal(ii[off : off + P], ps[0])
+            npt.assert_array_equal(jj[off : off + P], ps[1])
+            off += P
 
 
 def test_fourier_batch_equals_oracle():
