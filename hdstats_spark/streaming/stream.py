@@ -211,9 +211,15 @@ def streaming_neardup_simhash(
          fingerprints, emitting (id_a, id_b, hamming, ts) for every match,
          then appended to the bucket.
 
-    A pair agreeing on several bands is emitted once per agreeing band —
-    pipe through dedup_pairs_within_watermark (or any downstream distinct)
-    when exact-once pairs matter; the equivalence test normalizes sets.
+    Exactly-once pairs WITHOUT a second stateful operator (Spark's
+    correctness checker rejects chaining another watermark-stateful op after
+    applyInPandasWithState): a pair agreeing on several bands is discovered
+    in every agreeing band's bucket, but since both fingerprints are in hand
+    the operator computes the pair's full agreement set locally and only the
+    MINIMAL agreeing band's bucket emits it.  The one caveat: if the
+    hot-bucket cap evicted the stored doc from that minimal band's bucket
+    (but not another's), the pair is suppressed with it — the cap trades
+    bounded state for recall on pathological buckets, documented below.
 
     Scale: state per (band, key) bucket is ≤ max_state_docs (id, fp) longs —
     hot buckets degrade to most-recent-docs recall rather than unbounded
@@ -258,6 +264,7 @@ def streaming_neardup_simhash(
         pdfs = [p for p in pdf_iter if len(p)]
         if not pdfs:
             return
+        band = int(key[0])
         pdf = (pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)).sort_values(
             [ts_col, id_col]
         )
@@ -283,6 +290,19 @@ def streaming_neardup_simhash(
                 )
                 hit = np.nonzero(ham <= max_hamming)[0]
                 for j in hit:
+                    # emit only from the pair's MINIMAL agreeing band: every
+                    # agreeing band's bucket discovers the pair, and each can
+                    # compute the full agreement set from the two
+                    # fingerprints — exactly-once with no downstream dedup
+                    fa = int(np.int64(fps[j]).view(np.uint64))
+                    fb = int(np.int64(new_fps[i]).view(np.uint64))
+                    first_band = next(
+                        b
+                        for b, (shift, mask) in enumerate(layout)
+                        if (fa >> shift) & mask == (fb >> shift) & mask
+                    )
+                    if first_band != band:
+                        continue
                     out_a.append(ids[j])
                     out_b.append(int(new_ids[i]))
                     out_h.append(int(ham[j]))

@@ -323,7 +323,9 @@ def test_streaming_neardup_simhash_equals_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    out = streaming_neardup_simhash(stream, max_hamming=3, watermark="1 hour", state_ttl_seconds=86400)
+    out = streaming_neardup_simhash(
+        stream, max_hamming=3, watermark="1 hour", state_ttl_seconds=86400
+    )
     q = (
         out.writeStream.format("memory")
         .queryName("nd_stream")
@@ -341,6 +343,9 @@ def test_streaming_neardup_simhash_equals_batch(spark, tmp_path):
         q.stop()
 
     got = spark.table("nd_stream").toPandas()
+    # minimal-agreeing-band emission: every (id_a, id_b) appears exactly
+    # once even when the pair agrees on several bands — no downstream dedup
+    assert not got.duplicated(["id_a", "id_b"]).any(), got
     streamed = {
         (min(a, b), max(a, b)): h
         for a, b, h in zip(got.id_a, got.id_b, got.hamming)
