@@ -88,22 +88,16 @@ class IceliteTable:
                     out.append(Snapshot(**json.load(f)))
         return sorted(out, key=lambda s: s.committed_at)
 
-    def _commit(self, snap: Snapshot, expected_parent: str | None) -> Snapshot:
-        """Optimistic-concurrency commit: flip `current` only while holding an
-        O_EXCL lock AND only if the live snapshot is still the parent this
-        commit was derived from (Iceberg's compare-and-swap on the metadata
-        pointer).  A lost race raises CommitConflict; append/overwrite retry
-        by re-reading the manifest and re-merging — data files are immutable
-        and already written, so the retry is metadata-only."""
+    def _acquire_lock(self) -> int:
+        """O_EXCL commit lock with stale-lock reclamation; returns the fd."""
         os.makedirs(self.meta_dir, exist_ok=True)
         lock = os.path.join(self.meta_dir, ".commit.lock")
-        fd = None
         for _ in range(4000):  # ~20 s worst-case wait on a live lock
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 # holder identity for post-mortems; reclamation keys off mtime
                 os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                break
+                return fd
             except FileExistsError:
                 # stale-lock reclamation: a writer that crashed between
                 # os.open(O_EXCL) and os.unlink would otherwise wedge every
@@ -118,8 +112,20 @@ class IceliteTable:
                 except FileNotFoundError:
                     continue
                 time.sleep(0.005)
-        if fd is None:
-            raise TimeoutError(f"commit lock busy: {lock}")
+        raise TimeoutError(f"commit lock busy: {lock}")
+
+    def _release_lock(self, fd: int) -> None:
+        os.close(fd)
+        os.unlink(os.path.join(self.meta_dir, ".commit.lock"))
+
+    def _commit(self, snap: Snapshot, expected_parent: str | None) -> Snapshot:
+        """Optimistic-concurrency commit: flip `current` only while holding an
+        O_EXCL lock AND only if the live snapshot is still the parent this
+        commit was derived from (Iceberg's compare-and-swap on the metadata
+        pointer).  A lost race raises CommitConflict; append/overwrite retry
+        by re-reading the manifest and re-merging — data files are immutable
+        and already written, so the retry is metadata-only."""
+        fd = self._acquire_lock()
         try:
             if self.current_snapshot_id() != expected_parent:
                 raise CommitConflict(
@@ -135,8 +141,7 @@ class IceliteTable:
             os.replace(tmp, os.path.join(self.meta_dir, "current"))  # atomic flip
             return snap
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            self._release_lock(fd)
 
     # ------------------------------------------------------------- write
 
@@ -319,3 +324,132 @@ class IceliteTable:
     def rows(self, snapshot_id: str | None = None) -> int:
         snap = self.snapshot(snapshot_id)
         return sum(m["rows"] for m in snap.partitions.values()) if snap else 0
+
+    # ------------------------------------------------------- maintenance
+
+    def compact_partition(
+        self,
+        spark: SparkSession,
+        partition_col: str,
+        value: str,
+        target_files: int = 1,
+        lineage: dict | None = None,
+    ) -> Snapshot | None:
+        """Rewrite one partition's data files into ``target_files`` files —
+        the icelite analogue of Iceberg's rewriteDataFiles (small-file
+        compaction): continuous appends (one file per streaming micro-batch,
+        one per writer task in the batch path) otherwise degrade scan
+        parallelism into a tiny-file storm at 10^5+ commits.
+
+        Content is unchanged: the replacement snapshot points the partition
+        at the new files only, older snapshots keep the old files (time
+        travel intact until expire_snapshots GCs them), and the commit is
+        the same optimistic CAS as append/overwrite.  If another writer
+        touched the partition between the rewrite and the commit, the
+        compaction SKIPS (returns None, files are cleaned up) rather than
+        clobbering the concurrent append — the next maintenance run
+        retries, exactly Iceberg's rewrite-conflict behavior."""
+        import shutil
+
+        prev = self.snapshot()
+        if prev is None or value not in prev.partitions:
+            return None
+        original = prev.partitions[value]
+        df = self.read(spark, partitions=[value]).coalesce(max(1, target_files))
+        commit_dir = os.path.join(self.data_dir, f"compact-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(commit_dir)
+        import pyarrow.parquet as pq
+
+        paths = [
+            os.path.join(commit_dir, n)
+            for n in os.listdir(commit_dir)
+            if n.endswith(".parquet")
+        ]
+        rows = int(sum(pq.ParquetFile(p).metadata.num_rows for p in paths))
+        assert rows == original["rows"], (rows, original["rows"])
+        new_manifest = {
+            "files": [os.path.relpath(p, self.root) for p in paths],
+            "rows": rows,
+        }
+        for _ in range(20):
+            prev = self.snapshot()
+            if prev.partitions.get(value) != original:
+                # concurrent append/overwrite of this partition since the
+                # rewrite started — abandon, GC our files, retry next run
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                return None
+            parts = dict(prev.partitions)
+            parts[value] = new_manifest
+            try:
+                return self._commit(
+                    Snapshot(
+                        snapshot_id=uuid.uuid4().hex[:16],
+                        parent_id=prev.snapshot_id,
+                        operation="compact",
+                        partitions=parts,
+                        lineage=lineage or {"compacted": value},
+                    ),
+                    expected_parent=prev.snapshot_id,
+                )
+            except CommitConflict:
+                continue
+        shutil.rmtree(commit_dir, ignore_errors=True)
+        raise CommitConflict("compact lost 20 consecutive commit races")
+
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_s: float | None = None
+    ) -> dict:
+        """Expire old snapshots and GC the data files only they reference —
+        the icelite analogue of Iceberg's expireSnapshots: without it a
+        long-lived table pins every file ever written (compaction and
+        overwrite never physically delete).
+
+        Retains the newest ``keep_last`` snapshots, everything newer than
+        ``older_than_s`` seconds, and ALWAYS the current snapshot.  Runs
+        entirely under the commit lock (maintenance, not hot path) so no
+        concurrent commit can add a reference while the live-file set is
+        computed.  Returns {"snapshots_removed": n, "files_removed": n}."""
+        fd = self._acquire_lock()
+        try:
+            snaps = self.snapshots()
+            current = self.current_snapshot_id()
+            cutoff = time.time() - older_than_s if older_than_s is not None else None
+            keep: set[str] = set(s.snapshot_id for s in snaps[-keep_last:]) if keep_last else set()
+            if current:
+                keep.add(current)
+            if cutoff is not None:
+                keep.update(s.snapshot_id for s in snaps if s.committed_at >= cutoff)
+            expired = [s for s in snaps if s.snapshot_id not in keep]
+            live_files: set[str] = set()
+            for s in snaps:
+                if s.snapshot_id in keep:
+                    for m in s.partitions.values():
+                        live_files.update(m["files"])
+            dead_files: set[str] = set()
+            for s in expired:
+                for m in s.partitions.values():
+                    dead_files.update(f for f in m["files"] if f not in live_files)
+            for f in dead_files:
+                path = f if os.path.isabs(f) else os.path.join(self.root, f)
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+            for s in expired:
+                os.unlink(self._snapshot_path(s.snapshot_id))
+            # drop now-empty commit dirs so the data tree stays listable
+            if os.path.isdir(self.data_dir):
+                for entry in os.listdir(self.data_dir):
+                    d = os.path.join(self.data_dir, entry)
+                    if os.path.isdir(d) and not any(
+                        files for _, _, files in os.walk(d)
+                    ):
+                        import shutil
+
+                        shutil.rmtree(d, ignore_errors=True)
+            return {
+                "snapshots_removed": len(expired),
+                "files_removed": len(dead_files),
+            }
+        finally:
+            self._release_lock(fd)
