@@ -347,18 +347,26 @@ def run_stream_to_memory(
 
 def run_stream_to_icelite(
     spark: SparkSession, src_dir: str, checkpoint: str, table_root: str,
-    watermark: str = "10 minutes",
+    watermark: str = "10 minutes", compact_every: int | None = None,
 ):
     """Production sink shape: each micro-batch of finalized 1m buckets is an
     icelite APPEND commit carrying the micro-batch id as lineage — the
     streaming half of the checkpoint/lineage contract (exactly-once up to
     foreachBatch reprocessing; the batch engine's reroll path reconciles
     replays, and appends within one stream are idempotent per restart
-    because the streaming checkpoint gates batch ids)."""
+    because the streaming checkpoint gates batch ids).
+
+    ``compact_every=N`` folds table maintenance into the sink: after every
+    N commits, partitions that have accumulated more files than commits/2
+    are rewritten via compact_partition (conflict-skipping, so a concurrent
+    batch writer is never clobbered) — without this, one file lands per
+    micro-batch per day-partition and scan parallelism degrades into a
+    tiny-file storm over ~10⁵ micro-batches."""
     from ..icelite import IceliteTable
 
     tbl = IceliteTable(table_root)
     out = streaming_rollup_1m(stream_transcripts_from_dir(spark, src_dir), watermark)
+    commits = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
@@ -368,6 +376,15 @@ def run_stream_to_icelite(
             "day",
             lineage={"micro_batch": int(batch_id), "source": src_dir},
         )
+        commits["n"] += 1
+        if compact_every and commits["n"] % compact_every == 0:
+            snap = tbl.snapshot()
+            for value, m in snap.partitions.items():
+                if len(m["files"]) > max(2, compact_every // 2):
+                    tbl.compact_partition(
+                        spark, "day", value,
+                        lineage={"compacted": value, "after_batch": int(batch_id)},
+                    )
 
     return (
         out.writeStream.foreachBatch(sink)

@@ -70,7 +70,9 @@ def test_streaming_to_icelite_commits(spark, transcripts, tmp_path):
     for i, p in enumerate(parts):
         os.utime(p, (base + i, base + i))
 
-    q = run_stream_to_icelite(spark, src, ckpt, root, watermark="0 seconds")
+    q = run_stream_to_icelite(
+        spark, src, ckpt, root, watermark="0 seconds", compact_every=2
+    )
     try:
         deadline = time.time() + 180
         while time.time() < deadline:
@@ -82,7 +84,18 @@ def test_streaming_to_icelite_commits(spark, transcripts, tmp_path):
 
     tbl = IceliteTable(root)
     snaps = tbl.snapshots()
-    assert snaps and all("micro_batch" in s.lineage for s in snaps)
+    assert snaps and all(
+        "micro_batch" in s.lineage or s.operation == "compact" for s in snaps
+    )
+    # in-sink maintenance ran and bounds the per-partition file count to
+    # what accumulated SINCE the last compaction (≤ compact_every appends ×
+    # ≤ parallelism files each + the 1 compacted file), independent of the
+    # total number of micro-batches — the property that prevents the
+    # tiny-file storm at 10⁵ commits
+    assert any(s.operation == "compact" for s in snaps)
+    cap = 2 * spark.sparkContext.defaultParallelism + 1
+    for m in tbl.snapshot().partitions.values():
+        assert len(m["files"]) <= cap, m
     got = tbl.read(spark).drop("day").toPandas()
     expect = rollup_raw(channelize(transcripts), "1m").toPandas()
     max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
