@@ -1066,6 +1066,24 @@ FROM comp JOIN med USING (t) GROUP BY comp.user_id
 """
 
 
+def _dense0_event_series(spark, sf_dir):
+    """Zero-filled (not completion-filled) hourly tier — the integer grid
+    the dtw_diag exactness argument needs; shared by the dist and path diag
+    queries.  Deliberately NOT .cache()d: the prep is ~1.5 s at sf0.1 while
+    materializing the dense tier costs more than the second query saves
+    (measured both ways)."""
+    from .operators.gapfill import densify
+
+    tier = (
+        _event_buckets(spark, sf_dir, "hour")
+        .withColumn("conv_id", F.col("user_id").cast("string"))
+        .drop("user_id")
+    )
+    return densify(tier, "1h", ["n_events"]).withColumn(
+        "n_events", F.coalesce(F.col("n_events").cast("double"), F.lit(0.0))
+    )
+
+
 def q_dtw_diag(spark, sf_dir):
     """Banded DTW with window=0 — the band pins the warp to the diagonal
     (dtw.pyx:35-53 with w=0), so dist = Σᵢ|xᵢ−refᵢ| / (r+c): fully
@@ -1078,17 +1096,9 @@ def q_dtw_diag(spark, sf_dir):
     median across users is a multiple of 0.5; float32 partial sums of halves
     are exact below 2²³, and un-normalizing (×2n, snap to halves) removes the
     one inexact f32 division."""
-    from .operators.gapfill import densify
     from .operators.series import dtw_area_batched, series_table
 
-    tier = (
-        _event_buckets(spark, sf_dir, "hour")
-        .withColumn("conv_id", F.col("user_id").cast("string"))
-        .drop("user_id")
-    )
-    dense0 = densify(tier, "1h", ["n_events"]).withColumn(
-        "n_events", F.coalesce(F.col("n_events").cast("double"), F.lit(0.0))
-    )
+    dense0 = _dense0_event_series(spark, sf_dir)
     ref = _area_median_curve(dense0, "n_events")
     st = series_table(dense0, ["n_events"]).cache()
     d = dtw_area_batched(st, "n_events", ref, window=0)
@@ -1138,17 +1148,9 @@ def q_dtw_diag_path(spark, sf_dir):
     import pandas as pd
 
     from .kernels_np import dtw_path_batch
-    from .operators.gapfill import densify
     from .operators.series import _padded_stack, series_table
 
-    tier = (
-        _event_buckets(spark, sf_dir, "hour")
-        .withColumn("conv_id", F.col("user_id").cast("string"))
-        .drop("user_id")
-    )
-    dense0 = densify(tier, "1h", ["n_events"]).withColumn(
-        "n_events", F.coalesce(F.col("n_events").cast("double"), F.lit(0.0))
-    )
+    dense0 = _dense0_event_series(spark, sf_dir)
     ref = _area_median_curve(dense0, "n_events")
     st = series_table(dense0, ["n_events"])
     sc = spark.sparkContext
