@@ -344,7 +344,9 @@ def q_mad_vs_centroid(spark, sf_dir):
     cent = b.groupBy("user_id").agg(
         *[F.avg(c).alias(f"c_{c}") for c in chans]
     )
-    j = b.join(F.broadcast(cent), "user_id")
+    # unhinted: one centroid row per user scales with the corpus; AQE
+    # broadcasts when genuinely small, else the shuffled join co-partitions
+    j = b.join(cent, "user_id")
     diffsq = sum(
         ((F.col(c) - F.col(f"c_{c}")) * (F.col(c) - F.col(f"c_{c}")) for c in chans[1:]),
         (F.col(chans[0]) - F.col(f"c_{chans[0]}")) * (F.col(chans[0]) - F.col(f"c_{chans[0]}")),
@@ -833,7 +835,8 @@ def q_dist_to_centroid(spark, sf_dir):
     b = _event_buckets(spark, sf_dir, "hour")
     chans = list(EVENT_CHANNELS)
     cent = b.groupBy("user_id").agg(*[F.avg(c).alias(f"c_{c}") for c in chans])
-    j = b.join(F.broadcast(cent), "user_id")
+    # unhinted, same rationale as q_mad_vs_centroid's centroid join
+    j = b.join(cent, "user_id")
     diffsq = sum(
         ((F.col(c) - F.col(f"c_{c}")) * (F.col(c) - F.col(f"c_{c}")) for c in chans[1:]),
         (F.col(chans[0]) - F.col(f"c_{chans[0]}")) * (F.col(chans[0]) - F.col(f"c_{chans[0]}")),

@@ -310,11 +310,16 @@ def symmetry_agg(
 ) -> DataFrame:
     """Reference ``symmetry`` (ts.pyx:231-243): cosine distance between each
     conversation's time-mean channel vector and its geomedian composite.
-    Pure built-in expressions: per-channel avg, broadcast join, arithmetic."""
+    Pure built-in expressions: per-channel avg, equi-join, arithmetic.
+
+    The gm join is UNHINTED: the composite has one row per conversation, so
+    a forced broadcast grows linearly with the corpus (the mad_agg
+    broadcast_gm=False rationale); both sides are keyed on conv_id, so a
+    shuffled join co-partitions, and AQE still broadcasts when small."""
     means = tier_df.groupBy("conv_id").agg(
         *[F.avg(F.col(c).cast("float")).alias(f"mm_{c}") for c in channels]
     )
-    j = means.join(F.broadcast(gm_df), "conv_id")
+    j = means.join(gm_df, "conv_id")
     numer = sum((F.col(f"mm_{c}") * F.col(f"gm_{c}") for c in channels[1:]),
                 F.col(f"mm_{channels[0]}") * F.col(f"gm_{channels[0]}"))
     norma = sum((F.col(f"mm_{c}") * F.col(f"mm_{c}") for c in channels[1:]),
