@@ -498,11 +498,14 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_customers(spark, sf_dir):
-    """Broadcast join orders ⋈ customer + top-10 by revenue."""
+    """orders ⋈ customer + top-10 by revenue.  The customer side is left
+    unhinted — it is a dim table but still grows with scale factor, and AQE
+    picks the broadcast at runtime when it fits (the plan still shows
+    BroadcastHashJoin at bench scale)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     agg = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(_r6(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
     )

@@ -83,19 +83,21 @@ def mad_agg(
     channels: Sequence[str] = CHANNELS,
     kinds: Sequence[str] = ("emad", "smad", "bcmad"),
     order_col: str = "bucket",
-    broadcast_gm: bool = True,
+    broadcast_gm: bool = False,
 ) -> DataFrame:
     """Per-conversation MAD discordance vs the geomedian composite
     (geomad.pyx:200-350): join the composite table onto the tier rows,
     compute the per-bucket distances vectorized, reduce with nanmedian — all
     inside one grouped pass.
 
-    ``broadcast_gm=False`` drops the broadcast hint for composite tables that
-    scale with the series count (one gm row per conversation — at 10^9
-    conversations the composite is itself a big table): AQE then picks a
-    shuffled join, and because both sides hash-partition on conv_id the
-    downstream groupBy reuses that partitioning exchange-free.  See also
-    mads_cogrouped for the cogroup formulation of the same stack × gm align."""
+    The gm join is UNHINTED by default (broadcast_gm=False): the composite
+    has one row per conversation, so at 10^9 conversations it is itself a
+    big table — AQE picks a shuffled join (both sides hash-partition on
+    conv_id, so the downstream groupBy reuses that partitioning
+    exchange-free) and still broadcasts when genuinely small.
+    ``broadcast_gm=True`` forces the hint for composites known to be tiny.
+    See also mads_cogrouped for the cogroup formulation of the same
+    stack × gm align."""
     gm_cols = [f"gm_{c}" for c in channels]
     joined = tier_df.join(F.broadcast(gm_df) if broadcast_gm else gm_df, "conv_id")
     fields = [T.StructField("conv_id", T.StringType(), False)]
