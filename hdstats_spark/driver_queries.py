@@ -655,14 +655,17 @@ def _collect_embeddings(spark, sf_dir, predicate=None, max_rows=1_000_000):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if predicate is not None:
         e = e.filter(predicate)
-    n = e.count()  # metadata-cheap on parquet; guards the toPandas below
-    if n > max_rows:
+    # ONE scan, early-terminating: collect at most max_rows+1 rows — a
+    # (max_rows+1)-th row proves the set is unbounded without a separate
+    # count() job (which cannot be answered from footers once a predicate
+    # is pushed down, so it would re-scan the whole table)
+    pdf = e.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"refusing to collect {n} embeddings to the driver (max_rows="
-            f"{max_rows}); use dedup_embedding_lsh / knn_lsh / knn_ivf for "
-            "unbounded corpora"
+            f"refusing to collect >{max_rows} embeddings to the driver; "
+            "use dedup_embedding_lsh / knn_lsh / knn_ivf for unbounded "
+            "corpora"
         )
-    pdf = e.toPandas()
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     return ids, M, np.sqrt((M * M).sum(axis=1))
@@ -1444,7 +1447,7 @@ def _sql_simhash_poly(max_hamming=3):
     )
     band_eq = " OR ".join(
         f"(((a.fp >> {shift}) & {mask}) = ((b.fp >> {shift}) & {mask}))"
-        for shift, mask in simhash_band_layout(n_bits)
+        for shift, mask in simhash_band_layout(n_bits, n_bands=max_hamming + 1)
     )
     return f"""
 WITH tok AS (

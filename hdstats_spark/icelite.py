@@ -88,35 +88,60 @@ class IceliteTable:
                     out.append(Snapshot(**json.load(f)))
         return sorted(out, key=lambda s: s.committed_at)
 
-    def _acquire_lock(self) -> int:
-        """O_EXCL commit lock with stale-lock reclamation; returns the fd."""
+    def _acquire_lock(self) -> tuple[int, str]:
+        """O_EXCL commit lock with stale-lock reclamation; returns
+        (fd, owner token).  The token (written into the lock file) lets
+        release verify it still owns the lock — a long holder whose lock was
+        reclaimed must NOT unlink the reclaimer's fresh lock, or mutual
+        exclusion breaks for a third writer.  Reclamation itself renames the
+        stale lock to a unique name before deleting (rename is atomic, so
+        exactly one of several racing reclaimers wins — no stat-then-unlink
+        TOCTOU where a reclaimer could delete a freshly re-acquired lock)."""
         os.makedirs(self.meta_dir, exist_ok=True)
         lock = os.path.join(self.meta_dir, ".commit.lock")
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         for _ in range(4000):  # ~20 s worst-case wait on a live lock
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                # holder identity for post-mortems; reclamation keys off mtime
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                return fd
+                os.write(fd, token.encode())
+                return fd, token
             except FileExistsError:
                 # stale-lock reclamation: a writer that crashed between
                 # os.open(O_EXCL) and os.unlink would otherwise wedge every
-                # future commit.  Commits hold the lock for milliseconds
-                # (metadata-only), so a lock older than LOCK_STALE_S seconds
-                # is dead — remove it and retry.  Two reclaimers racing on the
-                # unlink is benign (FileNotFoundError → retry the open).
+                # future commit.  Commits hold the lock for milliseconds and
+                # long maintenance holders heartbeat the mtime (_touch_lock),
+                # so a lock older than LOCK_STALE_S seconds is dead.
                 try:
                     if time.time() - os.stat(lock).st_mtime > self.LOCK_STALE_S:
-                        os.unlink(lock)
+                        grave = lock + f".reclaim.{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, grave)  # atomic: one reclaimer wins
+                        os.unlink(grave)
                         continue
                 except FileNotFoundError:
                     continue
                 time.sleep(0.005)
         raise TimeoutError(f"commit lock busy: {lock}")
 
-    def _release_lock(self, fd: int) -> None:
+    def _touch_lock(self) -> None:
+        """Heartbeat for long-running lock holders (maintenance): refresh the
+        lock mtime so reclamation never steals a live lock."""
+        try:
+            os.utime(os.path.join(self.meta_dir, ".commit.lock"))
+        except FileNotFoundError:
+            pass
+
+    def _release_lock(self, fd: int, token: str) -> None:
         os.close(fd)
-        os.unlink(os.path.join(self.meta_dir, ".commit.lock"))
+        lock = os.path.join(self.meta_dir, ".commit.lock")
+        try:
+            with open(lock) as f:
+                if f.read() != token:
+                    # our lock was reclaimed as stale while we held it — the
+                    # current file belongs to another writer; leave it alone
+                    return
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
     def _commit(self, snap: Snapshot, expected_parent: str | None) -> Snapshot:
         """Optimistic-concurrency commit: flip `current` only while holding an
@@ -125,7 +150,7 @@ class IceliteTable:
         pointer).  A lost race raises CommitConflict; append/overwrite retry
         by re-reading the manifest and re-merging — data files are immutable
         and already written, so the retry is metadata-only."""
-        fd = self._acquire_lock()
+        fd, token = self._acquire_lock()
         try:
             if self.current_snapshot_id() != expected_parent:
                 raise CommitConflict(
@@ -141,7 +166,7 @@ class IceliteTable:
             os.replace(tmp, os.path.join(self.meta_dir, "current"))  # atomic flip
             return snap
         finally:
-            self._release_lock(fd)
+            self._release_lock(fd, token)
 
     # ------------------------------------------------------------- write
 
@@ -366,35 +391,46 @@ class IceliteTable:
             if n.endswith(".parquet")
         ]
         rows = int(sum(pq.ParquetFile(p).metadata.num_rows for p in paths))
-        assert rows == original["rows"], (rows, original["rows"])
+        if rows != original["rows"]:
+            # a writer touched the partition between snapshot() and read()
+            # (the rewrite saw more/fewer rows than the manifest this
+            # compaction was planned against) — conflict-skip, same as the
+            # manifest check below; never an exception in the sink path
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            return None
         new_manifest = {
             "files": [os.path.relpath(p, self.root) for p in paths],
             "rows": rows,
         }
-        for _ in range(20):
-            prev = self.snapshot()
-            if prev.partitions.get(value) != original:
-                # concurrent append/overwrite of this partition since the
-                # rewrite started — abandon, GC our files, retry next run
-                shutil.rmtree(commit_dir, ignore_errors=True)
-                return None
-            parts = dict(prev.partitions)
-            parts[value] = new_manifest
-            try:
-                return self._commit(
-                    Snapshot(
-                        snapshot_id=uuid.uuid4().hex[:16],
-                        parent_id=prev.snapshot_id,
-                        operation="compact",
-                        partitions=parts,
-                        lineage=lineage or {"compacted": value},
-                    ),
-                    expected_parent=prev.snapshot_id,
-                )
-            except CommitConflict:
-                continue
-        shutil.rmtree(commit_dir, ignore_errors=True)
-        raise CommitConflict("compact lost 20 consecutive commit races")
+        try:
+            for _ in range(20):
+                prev = self.snapshot()
+                if prev.partitions.get(value) != original:
+                    # concurrent append/overwrite of this partition since the
+                    # rewrite started — abandon, GC our files, retry next run
+                    shutil.rmtree(commit_dir, ignore_errors=True)
+                    return None
+                parts = dict(prev.partitions)
+                parts[value] = new_manifest
+                try:
+                    return self._commit(
+                        Snapshot(
+                            snapshot_id=uuid.uuid4().hex[:16],
+                            parent_id=prev.snapshot_id,
+                            operation="compact",
+                            partitions=parts,
+                            lineage=lineage or {"compacted": value},
+                        ),
+                        expected_parent=prev.snapshot_id,
+                    )
+                except CommitConflict:
+                    continue
+            raise CommitConflict("compact lost 20 consecutive commit races")
+        except Exception:
+            # incl. TimeoutError from the commit lock: the rewritten files
+            # were never referenced by any snapshot — GC them, don't orphan
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
 
     def expire_snapshots(
         self, keep_last: int = 1, older_than_s: float | None = None
@@ -408,8 +444,10 @@ class IceliteTable:
         ``older_than_s`` seconds, and ALWAYS the current snapshot.  Runs
         entirely under the commit lock (maintenance, not hot path) so no
         concurrent commit can add a reference while the live-file set is
-        computed.  Returns {"snapshots_removed": n, "files_removed": n}."""
-        fd = self._acquire_lock()
+        computed; the lock mtime is heartbeated during the deletion loops so
+        stale-lock reclamation never steals it from a long GC.  Returns
+        {"snapshots_removed": n, "files_removed": n}."""
+        fd, token = self._acquire_lock()
         try:
             snaps = self.snapshots()
             current = self.current_snapshot_id()
@@ -429,13 +467,17 @@ class IceliteTable:
             for s in expired:
                 for m in s.partitions.values():
                     dead_files.update(f for f in m["files"] if f not in live_files)
-            for f in dead_files:
+            for i, f in enumerate(dead_files):
+                if i % 1000 == 0:
+                    self._touch_lock()  # heartbeat: GC can outlive LOCK_STALE_S
                 path = f if os.path.isabs(f) else os.path.join(self.root, f)
                 try:
                     os.unlink(path)
                 except FileNotFoundError:
                     pass
-            for s in expired:
+            for i, s in enumerate(expired):
+                if i % 1000 == 0:
+                    self._touch_lock()
                 os.unlink(self._snapshot_path(s.snapshot_id))
             # drop now-empty commit dirs so the data tree stays listable
             if os.path.isdir(self.data_dir):
@@ -452,4 +494,4 @@ class IceliteTable:
                 "files_removed": len(dead_files),
             }
         finally:
-            self._release_lock(fd)
+            self._release_lock(fd, token)

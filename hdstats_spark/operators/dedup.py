@@ -367,13 +367,16 @@ def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text",
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: 4-band blocking (a pair within
-    Hamming ≤ 3 must agree exactly on ≥1 of 4 bands), verified with
-    bit_count(xor) ≤ max_hamming.  ``hash_mode="poly31"`` swaps the token
-    hash for the SQL-computable polynomial (31-bit fingerprints, 8/8/8/7-bit
-    bands) so the whole pipeline has an exact DuckDB mirror
-    (``simhash_poly`` driver query); xxhash64 remains the scale default."""
-    layout = simhash_band_layout(simhash_bits(hash_mode))
+    """Near-duplicate pairs by SimHash: band blocking with
+    n_bands = max_hamming + 1 (the pigeonhole guarantee — a pair within
+    Hamming ≤ d of d+1 bands must agree exactly on ≥1 band — only holds
+    when the band count exceeds the Hamming budget, so it is DERIVED, not
+    fixed at 4), verified with bit_count(xor) ≤ max_hamming.
+    ``hash_mode="poly31"`` swaps the token hash for the SQL-computable
+    polynomial (31-bit fingerprints) so the whole pipeline has an exact
+    DuckDB mirror (``simhash_poly`` driver query); xxhash64 remains the
+    scale default."""
+    layout = simhash_band_layout(simhash_bits(hash_mode), n_bands=max_hamming + 1)
     fp = simhash_fingerprints(docs, id_col, text_col, hash_mode).cache()
     bands = fp.select(
         id_col,

@@ -236,7 +236,10 @@ def streaming_neardup_simhash(
     from ..operators.dedup import simhash_band_layout, simhash_fingerprints
 
     fp = simhash_fingerprints(doc_stream, id_col, text_col, keep_cols=[ts_col])
-    layout = simhash_band_layout(64)
+    # the blocking guarantee needs n_bands > max_hamming (a pair within
+    # Hamming d of n_bands bands must agree exactly on ≥1 band only when
+    # d ≤ n_bands−1) — derive the band count instead of assuming 4
+    layout = simhash_band_layout(64, n_bands=max_hamming + 1)
     banded = fp.select(
         id_col,
         ts_col,
@@ -277,8 +280,14 @@ def streaming_neardup_simhash(
         new_ids = pdf[id_col].to_numpy(dtype=np.int64)
         new_fps = pdf["simhash"].to_numpy(dtype=np.int64)
         new_ts = pdf[ts_col].to_numpy("datetime64[us]")
+        seen = set(ids)
         out_a, out_b, out_h, out_t = [], [], [], []
         for i in range(len(new_ids)):
+            # at-least-once sources replay documents: a doc_id already in
+            # this bucket's state must neither self-pair nor re-emit its
+            # earlier pairs reversed — skip it entirely (idempotent replay)
+            if int(new_ids[i]) in seen:
+                continue
             if fps:
                 x = np.asarray(fps, dtype=np.int64).view(np.uint64) ^ np.int64(
                     new_fps[i]
@@ -309,6 +318,7 @@ def streaming_neardup_simhash(
                     out_t.append(new_ts[i])
             ids.append(int(new_ids[i]))
             fps.append(int(new_fps[i]))
+            seen.add(int(new_ids[i]))
         if len(ids) > max_state_docs:  # hot bucket: keep the most recent
             ids = ids[-max_state_docs:]
             fps = fps[-max_state_docs:]

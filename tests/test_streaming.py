@@ -330,6 +330,10 @@ def test_streaming_neardup_simhash_equals_batch(spark, tmp_path):
     for p in glob.glob(os.path.join(src, "part-*.parquet")):
         os.utime(p, (base - 100, base - 100))
     spark.createDataFrame(second, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+    # at-least-once replay: the second batch's docs arrive AGAIN as a third
+    # file — replayed ids must neither self-pair nor re-emit reversed pairs
+    time.sleep(1.1)
+    spark.createDataFrame(second, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
@@ -356,9 +360,12 @@ def test_streaming_neardup_simhash_equals_batch(spark, tmp_path):
         q.stop()
 
     got = spark.table("nd_stream").toPandas()
-    # minimal-agreeing-band emission: every (id_a, id_b) appears exactly
-    # once even when the pair agrees on several bands — no downstream dedup
-    assert not got.duplicated(["id_a", "id_b"]).any(), got
+    # minimal-agreeing-band emission + replay idempotence: every unordered
+    # pair appears exactly once (no multi-band duplicates, no self-pairs,
+    # no reversed re-emissions from the replayed third file)
+    assert (got.id_a != got.id_b).all(), got
+    keys = got.apply(lambda r: (min(r.id_a, r.id_b), max(r.id_a, r.id_b)), axis=1)
+    assert not keys.duplicated().any(), got
     streamed = {
         (min(a, b), max(a, b)): h
         for a, b, h in zip(got.id_a, got.id_b, got.hamming)
