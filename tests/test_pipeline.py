@@ -257,3 +257,42 @@ def test_icelite_compact_and_expire(spark, tmp_path):
     except FileNotFoundError:
         raised = True
     assert raised
+
+
+def test_icelite_lock_steal_release_safety(spark, tmp_path):
+    """If a holder's lock is reclaimed as stale while it still runs, its
+    release must NOT unlink the reclaimer's fresh lock (ownership token
+    check) — otherwise a third writer could enter while the second commits,
+    breaking commit mutual exclusion."""
+    import os
+    import time as _time
+
+    t = IceliteTable(str(tmp_path / "locks"))
+    os.makedirs(t.meta_dir, exist_ok=True)
+    lock = os.path.join(t.meta_dir, ".commit.lock")
+
+    # holder A acquires, then "runs long": backdate the mtime past stale
+    fd_a, tok_a = t._acquire_lock()
+    old = _time.time() - t.LOCK_STALE_S - 5
+    os.utime(lock, (old, old))
+
+    # writer B reclaims the stale lock and acquires its own
+    fd_b, tok_b = t._acquire_lock()
+    assert tok_a != tok_b and os.path.exists(lock)
+
+    # A finishes: release must see the token mismatch and leave B's lock
+    t._release_lock(fd_a, tok_a)
+    assert os.path.exists(lock), "A unlinked B's live lock"
+    with open(lock) as f:
+        assert f.read() == tok_b
+
+    # B's release removes its own lock normally
+    t._release_lock(fd_b, tok_b)
+    assert not os.path.exists(lock)
+
+    # heartbeat keeps a long-running holder alive: fresh mtime, no reclaim
+    fd_c, tok_c = t._acquire_lock()
+    os.utime(lock, (old, old))
+    t._touch_lock()
+    assert _time.time() - os.stat(lock).st_mtime < 5
+    t._release_lock(fd_c, tok_c)
