@@ -139,6 +139,12 @@ class IceliteTable:
                     # our lock was reclaimed as stale while we held it — the
                     # current file belongs to another writer; leave it alone
                     return
+            # NB a read-then-unlink window technically remains (POSIX has no
+            # portable compare-and-delete), but entering it requires OUR
+            # mtime to be >LOCK_STALE_S old at this instant — impossible for
+            # commits (held for milliseconds) and prevented for maintenance
+            # by the _touch_lock heartbeat, so a reclaim between the read
+            # above and this unlink cannot occur for a live holder.
             os.unlink(lock)
         except FileNotFoundError:
             pass
