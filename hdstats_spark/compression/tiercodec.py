@@ -30,6 +30,33 @@ from .gorilla import (
     encode_xor_floats,
 )
 
+# ts_blob format header: 2-byte magic + 1-byte version.  Version 2 = epoch
+# MICROSECONDS (version 1 — epoch seconds — was never given a header; the
+# r3 seconds→µs switch would otherwise be a silent on-disk break, decoding
+# old blobs to timestamps 10^6× too small with no error).  An unversioned
+# blob starts with its u32-LE element count, so misreading one as versioned
+# would require a block of ≥ 0x025447·2^24 ≈ 39M points with an exact
+# 3-byte match — rejected explicitly instead of decoded wrong.
+_TS_MAGIC = b"\xd7T"
+_TS_VER_US = 2
+
+
+def _ts_encode_us(ts_us: np.ndarray) -> bytes:
+    return _TS_MAGIC + bytes([_TS_VER_US]) + encode_dod_timestamps(ts_us)
+
+
+def _ts_decode_us(blob: bytes) -> np.ndarray:
+    b = bytes(blob)
+    if b[:2] != _TS_MAGIC:
+        raise ValueError(
+            "unversioned ts_blob (pre-µs epoch-seconds format): re-encode "
+            "with compress_tier/compress_tier_flat — refusing to decode as "
+            "microseconds"
+        )
+    if b[2] != _TS_VER_US:
+        raise ValueError(f"unsupported ts_blob version {b[2]}")
+    return decode_dod_timestamps(b[3:])
+
 
 def compress_tier(series_df: DataFrame, channels: Sequence[str] = CHANNELS) -> DataFrame:
     """series_table output → block rows
@@ -47,7 +74,7 @@ def compress_tier(series_df: DataFrame, channels: Sequence[str] = CHANNELS) -> D
                 # microsecond epoch: lossless for sub-second timestamps (the
                 # old //1_000_000 silently truncated them)
                 "ts_blob": [
-                    encode_dod_timestamps(
+                    _ts_encode_us(
                         np.asarray(b, dtype="datetime64[us]").astype("int64")
                     )
                     for b in pdf["buckets"]
@@ -118,7 +145,7 @@ def compress_tier_flat(
             out = {
                 "conv_ids": pa.array([ids.take(pa.array(starts)).to_pylist()]),
                 "ns": pa.array([ns]),
-                "ts_blob": pa.array([encode_dod_timestamps(ts)], type=pa.binary()),
+                "ts_blob": pa.array([_ts_encode_us(ts)], type=pa.binary()),
             }
             for c in chans:
                 v = rb.column(names.index(c)).to_numpy(zero_copy_only=False)
@@ -139,7 +166,7 @@ def decompress_tier_flat(
     def gen(batches):
         for pdf in batches:
             for i in range(len(pdf)):
-                ts = decode_dod_timestamps(pdf["ts_blob"].iloc[i])
+                ts = _ts_decode_us(pdf["ts_blob"].iloc[i])
                 out = {
                     "conv_id": np.repeat(
                         np.asarray(pdf["conv_ids"].iloc[i], dtype=object),
@@ -167,7 +194,7 @@ def decompress_tier(blocks_df: DataFrame, channels: Sequence[str] = CHANNELS) ->
             ids, buckets = [], []
             vals: dict[str, list] = {c: [] for c in chans}
             for i in range(len(pdf)):
-                ts = decode_dod_timestamps(pdf["ts_blob"].iloc[i])
+                ts = _ts_decode_us(pdf["ts_blob"].iloc[i])
                 ids.append(np.repeat(pdf["conv_id"].iloc[i], len(ts)))
                 buckets.append(ts)
                 for c in chans:

@@ -342,10 +342,12 @@ def simhash_fingerprints(
             out["simhash"] = fps.view(np.int64)
             yield pd.DataFrame(out)
 
+    # iterate ``keep`` (not docs.schema.fields) so the declared schema order
+    # always matches the emitted frame's column order — with multiple
+    # keep_cols in non-schema order the two would otherwise disagree and
+    # only Spark's assign-by-name config would save the types
     keep_schema = "".join(
-        f", {f.name} {f.dataType.simpleString()}"
-        for f in docs.schema.fields
-        if f.name in keep
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in keep
     )
     return hashed.mapInPandas(gen, f"{id_col} long{keep_schema}, simhash long")
 

@@ -271,11 +271,12 @@ def number_peaks_agg(
                 len(find_peaks_cwt(np.asarray(v[: int(ln)], dtype=np.float64), widths))
                 for v, ln in zip(pdf[value_col], pdf["n"])
             ]
+            # int8 to match the reference's output dtype (ts.pyx:223)
             yield pd.DataFrame(
-                {key_col: pdf[key_col], "n_peaks": np.asarray(counts, dtype=np.int32)}
+                {key_col: pdf[key_col], "n_peaks": np.asarray(counts, dtype=np.int8)}
             )
 
-    return series_df.mapInPandas(gen, f"{key_col} string, n_peaks int")
+    return series_df.mapInPandas(gen, f"{key_col} string, n_peaks tinyint")
 
 
 def _padded_stack(pdf: pd.DataFrame, value_col: str, key_col: str, dtype=np.float32):

@@ -220,6 +220,9 @@ def streaming_neardup_simhash(
     hot-bucket cap evicted the stored doc from that minimal band's bucket
     (but not another's), the pair is suppressed with it — the cap trades
     bounded state for recall on pathological buckets, documented below.
+    Eviction does NOT weaken replay idempotence: evicted ids stay in a
+    bounded FIFO set the replay guard also checks, so an at-least-once
+    replay of an evicted doc is ignored rather than re-inserted.
 
     Scale: state per (band, key) bucket is ≤ max_state_docs (id, fp) longs —
     hot buckets degrade to most-recent-docs recall rather than unbounded
@@ -258,7 +261,7 @@ def streaming_neardup_simhash(
     ).select(id_col, ts_col, "simhash", "b.band", "b.key")
 
     out_schema = f"id_a long, id_b long, hamming long, {ts_col} timestamp"
-    state_schema = "ids array<long>, fps array<long>, last_ms long"
+    state_schema = "ids array<long>, fps array<long>, evicted array<long>, last_ms long"
 
     def fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
@@ -272,21 +275,32 @@ def streaming_neardup_simhash(
             [ts_col, id_col]
         )
         if state.exists:
-            ids, fps, last_ms = state.get
+            ids, fps, evicted, last_ms = state.get
             ids = list(ids)
             fps = list(fps)
+            evicted = list(evicted)
         else:
-            ids, fps, last_ms = [], [], 0
+            ids, fps, evicted, last_ms = [], [], [], 0
         new_ids = pdf[id_col].to_numpy(dtype=np.int64)
         new_fps = pdf["simhash"].to_numpy(dtype=np.int64)
         new_ts = pdf[ts_col].to_numpy("datetime64[us]")
+        # replay guard covers live members AND recently-evicted ids: a doc
+        # the hot-bucket cap evicted would otherwise be re-inserted by an
+        # at-least-once replay and re-emit its pairs (duplicate rows beyond
+        # the documented suppression-only caveat)
         seen = set(ids)
+        seen_evicted = set(evicted)
         out_a, out_b, out_h, out_t = [], [], [], []
+        # per-document Python loop — inherent to sequential bucket-state
+        # semantics (doc i must see docs <i of the same micro-batch), and
+        # budget-bounded: ≤ max_state_docs (256) XOR-popcount rows per doc,
+        # so a worst-case micro-batch costs O(batch · 256) numpy ops per
+        # bucket, never O(batch²) across the stream
         for i in range(len(new_ids)):
             # at-least-once sources replay documents: a doc_id already in
             # this bucket's state must neither self-pair nor re-emit its
             # earlier pairs reversed — skip it entirely (idempotent replay)
-            if int(new_ids[i]) in seen:
+            if int(new_ids[i]) in seen or int(new_ids[i]) in seen_evicted:
                 continue
             if fps:
                 x = np.asarray(fps, dtype=np.int64).view(np.uint64) ^ np.int64(
@@ -320,10 +334,16 @@ def streaming_neardup_simhash(
             fps.append(int(new_fps[i]))
             seen.add(int(new_ids[i]))
         if len(ids) > max_state_docs:  # hot bucket: keep the most recent
+            # trimmed ids move to the bounded evicted set so the replay
+            # guard above still recognizes them (4× the live cap: old
+            # evictions age out in FIFO order — a replay arriving after
+            # 4·max_state_docs newer evictions is the batch reroll's job,
+            # like any post-TTL late data)
+            evicted = (evicted + ids[:-max_state_docs])[-4 * max_state_docs:]
             ids = ids[-max_state_docs:]
             fps = fps[-max_state_docs:]
         last_ms = max(int(last_ms), int(new_ts.max().astype("int64") // 1000))
-        state.update((ids, fps, last_ms))
+        state.update((ids, fps, evicted, last_ms))
         state.setTimeoutTimestamp(last_ms + state_ttl_seconds * 1000)
         if out_a:
             yield pd.DataFrame(
