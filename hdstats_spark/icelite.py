@@ -13,7 +13,16 @@ Layout:
     <root>/metadata/snapshot-<id>.json     (one per commit)
     <root>/metadata/current                 (id of the live snapshot)
 
-Each snapshot records: parent id, operation, the partition→files manifest,
+Metadata scales like Iceberg's manifest lists, not like a naive full-map
+log: a DELTA snapshot stores only the partitions its commit touched
+(O(changed partitions) bytes per commit), and every CHECKPOINT_EVERY-th
+commit in the chain is a CHECKPOINT storing the full resolved manifest, so
+reading any snapshot costs at most CHECKPOINT_EVERY JSON files (amortized
+O(1) for a writer advancing the chain, via a one-entry resolution cache).
+In memory ``Snapshot.partitions`` is ALWAYS the full resolved
+partition→files manifest — callers never see deltas.
+
+Each snapshot records: parent id, operation, the delta (or full manifest),
 row counts, and a caller-supplied lineage dict (input snapshot-id, partition
 range, rows processed, metrics) — the checkpoint/resume contract of the
 north rule.  Commits are atomic via write-temp + rename of `current`.
@@ -21,6 +30,7 @@ north rule.  Commits are atomic via write-temp + rename of `current`.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
@@ -41,23 +51,57 @@ class Snapshot:
     snapshot_id: str
     parent_id: str | None
     operation: str
-    partitions: dict  # partition value -> {"files": [...], "rows": int}
+    # ALWAYS the full resolved manifest in memory (value -> {files, rows});
+    # serialized to disk only for checkpoint snapshots
+    partitions: dict | None = None
+    # what THIS commit changed: {"mode": "append"|"replace", "parts": {...}};
+    # the only manifest data a delta snapshot persists
+    delta: dict | None = None
+    kind: str = "checkpoint"  # "checkpoint" | "delta"
+    seq: int = 1  # chain depth from the root commit
     lineage: dict = field(default_factory=dict)
     committed_at: float = 0.0
 
     def to_json(self) -> dict:
-        return self.__dict__
+        d = dict(self.__dict__)
+        if self.kind != "checkpoint":
+            d["partitions"] = None  # delta snapshots persist O(changed) bytes
+        return d
+
+
+def _apply_delta(base: dict, delta: dict) -> dict:
+    """Fold one commit's delta into a resolved manifest (copy-on-write: the
+    returned dict is new, untouched partition entries are shared)."""
+    out = dict(base)
+    parts = delta["parts"]
+    if delta["mode"] == "append":
+        for value, m in parts.items():
+            if value in out:
+                out[value] = {
+                    "files": out[value]["files"] + m["files"],
+                    "rows": out[value]["rows"] + m["rows"],
+                }
+            else:
+                out[value] = m
+    else:  # replace: the commit's partitions point at the new files only
+        out.update(parts)
+    return out
 
 
 class IceliteTable:
-    # commits hold the lock for milliseconds; a lock this old means the
-    # holder died mid-commit and the file is safe to reclaim
-    LOCK_STALE_S = 30.0
+    LOCK_TIMEOUT_S = 20.0  # commits hold the lock for milliseconds
+    # every Nth commit in the chain persists the full manifest; in between,
+    # commits persist only their delta (Iceberg: manifest list + manifests)
+    CHECKPOINT_EVERY = 64
 
     def __init__(self, root: str):
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
+        # one-entry resolution cache (sid, resolved manifest): a writer or
+        # streaming sink advancing the chain resolves each new snapshot by
+        # applying ONE delta to its parent's cached resolution
+        self._mcache: tuple[str, dict] | None = None
 
     # ------------------------------------------------------------- metadata
 
@@ -71,92 +115,152 @@ class IceliteTable:
         with open(cur) as f:
             return f.read().strip() or None
 
+    def _load_raw(self, sid: str) -> Snapshot:
+        """Load one snapshot JSON without resolving its manifest."""
+        with open(self._snapshot_path(sid)) as f:
+            d = json.load(f)
+        # pre-delta metadata files carry neither delta/kind/seq — they are
+        # full-manifest snapshots, i.e. checkpoints
+        d.setdefault("delta", None)
+        d.setdefault("kind", "checkpoint" if d.get("partitions") is not None else "delta")
+        d.setdefault("seq", 1)
+        return Snapshot(**d)
+
+    def _resolve(self, snap: Snapshot) -> Snapshot:
+        """Fill ``snap.partitions`` with the full manifest: walk parents to
+        the nearest checkpoint (or cache hit), fold deltas forward.  Cost is
+        ≤ CHECKPOINT_EVERY JSON reads cold, one delta application when the
+        parent's resolution is cached (the linear-chain hot path)."""
+        if snap.partitions is not None:
+            self._mcache = (snap.snapshot_id, snap.partitions)
+            return snap
+        chain: list[Snapshot] = []
+        s = snap
+        base: dict | None = None
+        while True:
+            if self._mcache is not None and self._mcache[0] == s.snapshot_id:
+                base = self._mcache[1]
+                break
+            if s.partitions is not None:
+                base = s.partitions
+                break
+            chain.append(s)
+            if s.parent_id is None:  # root is always a checkpoint; defensive
+                base = {}
+                break
+            s = self._load_raw(s.parent_id)
+        for d in reversed(chain):
+            base = _apply_delta(base, d.delta)
+        snap.partitions = base
+        self._mcache = (snap.snapshot_id, base)
+        return snap
+
     def snapshot(self, sid: str | None = None) -> Snapshot | None:
         sid = sid or self.current_snapshot_id()
         if sid is None:
             return None
-        with open(self._snapshot_path(sid)) as f:
-            return Snapshot(**json.load(f))
+        return self._resolve(self._load_raw(sid))
 
     def snapshots(self) -> list[Snapshot]:
+        """All snapshots, oldest first, each with its RESOLVED manifest —
+        maintenance/introspection surface (O(#commits); the commit and read
+        hot paths never call this)."""
         if not os.path.isdir(self.meta_dir):
             return []
         out = []
         for name in sorted(os.listdir(self.meta_dir)):
             if name.startswith("snapshot-"):
                 with open(os.path.join(self.meta_dir, name)) as f:
-                    out.append(Snapshot(**json.load(f)))
-        return sorted(out, key=lambda s: s.committed_at)
+                    d = json.load(f)
+                d.setdefault("delta", None)
+                d.setdefault("kind", "checkpoint" if d.get("partitions") is not None else "delta")
+                d.setdefault("seq", 1)
+                out.append(Snapshot(**d))
+        out.sort(key=lambda s: (s.seq, s.committed_at))
+        # resolving in chain order makes each resolution hit the parent's
+        # cache entry → one delta application per snapshot, and shallow
+        # copy-on-write shares unchanged partition entries across snapshots
+        for s in out:
+            self._resolve(s)
+        return out
 
-    def _acquire_lock(self) -> tuple[int, str]:
-        """O_EXCL commit lock with stale-lock reclamation; returns
-        (fd, owner token).  The token (written into the lock file) lets
-        release verify it still owns the lock — a long holder whose lock was
-        reclaimed must NOT unlink the reclaimer's fresh lock, or mutual
-        exclusion breaks for a third writer.  Reclamation itself renames the
-        stale lock to a unique name before deleting (rename is atomic, so
-        exactly one of several racing reclaimers wins — no stat-then-unlink
-        TOCTOU where a reclaimer could delete a freshly re-acquired lock)."""
+    # --------------------------------------------------------------- locking
+
+    def _lock_path(self) -> str:
+        return os.path.join(self.meta_dir, ".commit.lock")
+
+    def _acquire_lock(self) -> int:
+        """Commit mutual exclusion via flock(2) on a persistent lock file.
+
+        The lock is tied to the holder's open file description, so the
+        kernel releases it the instant the holder exits or crashes — there
+        is no stale-lock state, no reclamation heuristic, and none of the
+        stat/rename TOCTOU races a presence-based (O_EXCL) lock has to
+        navigate (a reclaimer could steal a *fresh* lock re-acquired in the
+        stat→rename window; flock has no such window).  Two opens of the
+        same file conflict even within one process, so threads are excluded
+        too.  The lock FILE is never unlinked: unlink-on-release would let
+        a later opener lock a fresh inode while an earlier waiter still
+        holds the old one — two "holders" at once.
+
+        A real deployment replaces this with the catalog's atomic
+        compare-and-swap (Iceberg REST / Hive lock / DynamoDB conditional
+        put); a local flock is the single-host emulation of that service.
+        """
         os.makedirs(self.meta_dir, exist_ok=True)
-        lock = os.path.join(self.meta_dir, ".commit.lock")
-        token = f"{os.getpid()}:{uuid.uuid4().hex}"
-        for _ in range(4000):  # ~20 s worst-case wait on a live lock
+        fd = os.open(self._lock_path(), os.O_CREAT | os.O_RDWR)
+        deadline = time.monotonic() + self.LOCK_TIMEOUT_S
+        while True:
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode())
-                return fd, token
-            except FileExistsError:
-                # stale-lock reclamation: a writer that crashed between
-                # os.open(O_EXCL) and os.unlink would otherwise wedge every
-                # future commit.  Commits hold the lock for milliseconds and
-                # long maintenance holders heartbeat the mtime (_touch_lock),
-                # so a lock older than LOCK_STALE_S seconds is dead.
-                try:
-                    if time.time() - os.stat(lock).st_mtime > self.LOCK_STALE_S:
-                        grave = lock + f".reclaim.{uuid.uuid4().hex[:8]}"
-                        os.rename(lock, grave)  # atomic: one reclaimer wins
-                        os.unlink(grave)
-                        continue
-                except FileNotFoundError:
-                    continue
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return fd
+            except OSError:
+                if time.monotonic() > deadline:
+                    os.close(fd)
+                    raise TimeoutError(f"commit lock busy: {self._lock_path()}")
                 time.sleep(0.005)
-        raise TimeoutError(f"commit lock busy: {lock}")
 
-    def _touch_lock(self) -> None:
-        """Heartbeat for long-running lock holders (maintenance): refresh the
-        lock mtime so reclamation never steals a live lock."""
-        try:
-            os.utime(os.path.join(self.meta_dir, ".commit.lock"))
-        except FileNotFoundError:
-            pass
-
-    def _release_lock(self, fd: int, token: str) -> None:
+    def _release_lock(self, fd: int) -> None:
+        fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
-        lock = os.path.join(self.meta_dir, ".commit.lock")
-        try:
-            with open(lock) as f:
-                if f.read() != token:
-                    # our lock was reclaimed as stale while we held it — the
-                    # current file belongs to another writer; leave it alone
-                    return
-            # NB a read-then-unlink window technically remains (POSIX has no
-            # portable compare-and-delete), but entering it requires OUR
-            # mtime to be >LOCK_STALE_S old at this instant — impossible for
-            # commits (held for milliseconds) and prevented for maintenance
-            # by the _touch_lock heartbeat, so a reclaim between the read
-            # above and this unlink cannot occur for a live holder.
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+
+    # --------------------------------------------------------------- commit
+
+    def _next_snapshot(
+        self,
+        prev: Snapshot | None,
+        operation: str,
+        mode: str,
+        parts: dict,
+        lineage: dict | None,
+    ) -> Snapshot:
+        """Build the child snapshot of ``prev`` for a commit that changed
+        ``parts``: a checkpoint at the cadence boundary (full manifest),
+        otherwise a delta carrying only the changed partitions."""
+        seq = (prev.seq + 1) if prev else 1
+        delta = {"mode": mode, "parts": parts}
+        resolved = _apply_delta(prev.partitions if prev else {}, delta)
+        kind = "checkpoint" if (prev is None or seq % self.CHECKPOINT_EVERY == 0) else "delta"
+        return Snapshot(
+            snapshot_id=uuid.uuid4().hex[:16],
+            parent_id=prev.snapshot_id if prev else None,
+            operation=operation,
+            partitions=resolved,
+            delta=delta,
+            kind=kind,
+            seq=seq,
+            lineage=lineage or {},
+        )
 
     def _commit(self, snap: Snapshot, expected_parent: str | None) -> Snapshot:
-        """Optimistic-concurrency commit: flip `current` only while holding an
-        O_EXCL lock AND only if the live snapshot is still the parent this
-        commit was derived from (Iceberg's compare-and-swap on the metadata
-        pointer).  A lost race raises CommitConflict; append/overwrite retry
-        by re-reading the manifest and re-merging — data files are immutable
-        and already written, so the retry is metadata-only."""
-        fd, token = self._acquire_lock()
+        """Optimistic-concurrency commit: flip `current` only while holding
+        the commit lock AND only if the live snapshot is still the parent
+        this commit was derived from (Iceberg's compare-and-swap on the
+        metadata pointer).  A lost race raises CommitConflict; append /
+        overwrite retry by re-reading the chain head and re-deriving — data
+        files are immutable and already written, so the retry is
+        metadata-only."""
+        fd = self._acquire_lock()
         try:
             if self.current_snapshot_id() != expected_parent:
                 raise CommitConflict(
@@ -170,9 +274,26 @@ class IceliteTable:
             with open(tmp, "w") as f:
                 f.write(snap.snapshot_id)
             os.replace(tmp, os.path.join(self.meta_dir, "current"))  # atomic flip
+            self._mcache = (snap.snapshot_id, snap.partitions)
             return snap
         finally:
-            self._release_lock(fd, token)
+            self._release_lock(fd)
+
+    def _commit_delta(
+        self, operation: str, mode: str, parts: dict, lineage: dict | None
+    ) -> Snapshot:
+        """Shared optimistic-retry loop for append/overwrite: derive a child
+        of the current head, CAS-commit, re-derive on a lost race."""
+        for _ in range(20):
+            prev = self.snapshot()
+            try:
+                return self._commit(
+                    self._next_snapshot(prev, operation, mode, parts, lineage),
+                    expected_parent=prev.snapshot_id if prev else None,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"{operation} lost 20 consecutive commit races")
 
     # ------------------------------------------------------------- write
 
@@ -268,31 +389,7 @@ class IceliteTable:
         self, df: DataFrame, partition_col: str | None = None, lineage: dict | None = None
     ) -> Snapshot:
         new = self._write_partition_files(df, partition_col)
-        for _ in range(20):  # optimistic retry on concurrent commits
-            prev = self.snapshot()
-            parts = dict(prev.partitions) if prev else {}
-            for value, m in new.items():
-                if value in parts:
-                    parts[value] = {
-                        "files": parts[value]["files"] + m["files"],
-                        "rows": parts[value]["rows"] + m["rows"],
-                    }
-                else:
-                    parts[value] = m
-            try:
-                return self._commit(
-                    Snapshot(
-                        snapshot_id=uuid.uuid4().hex[:16],
-                        parent_id=prev.snapshot_id if prev else None,
-                        operation="append",
-                        partitions=parts,
-                        lineage=lineage or {},
-                    ),
-                    expected_parent=prev.snapshot_id if prev else None,
-                )
-            except CommitConflict:
-                continue
-        raise CommitConflict("append lost 20 consecutive commit races")
+        return self._commit_delta("append", "append", new, lineage)
 
     def overwrite_partitions(
         self,
@@ -304,24 +401,7 @@ class IceliteTable:
         """Idempotent re-roll: replace exactly the partitions present in df
         (late-data handling — SURVEY.md §2 streaming notes)."""
         new = self._write_partition_files(df, partition_col, cluster)
-        for _ in range(20):
-            prev = self.snapshot()
-            parts = dict(prev.partitions) if prev else {}
-            parts.update(new)  # replaced partitions point at the new files only
-            try:
-                return self._commit(
-                    Snapshot(
-                        snapshot_id=uuid.uuid4().hex[:16],
-                        parent_id=prev.snapshot_id if prev else None,
-                        operation="overwrite",
-                        partitions=parts,
-                        lineage=lineage or {},
-                    ),
-                    expected_parent=prev.snapshot_id if prev else None,
-                )
-            except CommitConflict:
-                continue
-        raise CommitConflict("overwrite lost 20 consecutive commit races")
+        return self._commit_delta("overwrite", "replace", new, lineage)
 
     # ------------------------------------------------------------- read
 
@@ -416,16 +496,14 @@ class IceliteTable:
                     # rewrite started — abandon, GC our files, retry next run
                     shutil.rmtree(commit_dir, ignore_errors=True)
                     return None
-                parts = dict(prev.partitions)
-                parts[value] = new_manifest
                 try:
                     return self._commit(
-                        Snapshot(
-                            snapshot_id=uuid.uuid4().hex[:16],
-                            parent_id=prev.snapshot_id,
-                            operation="compact",
-                            partitions=parts,
-                            lineage=lineage or {"compacted": value},
+                        self._next_snapshot(
+                            prev,
+                            "compact",
+                            "replace",
+                            {value: new_manifest},
+                            lineage or {"compacted": value},
                         ),
                         expected_parent=prev.snapshot_id,
                     )
@@ -447,15 +525,18 @@ class IceliteTable:
         overwrite never physically delete).
 
         Retains the newest ``keep_last`` snapshots, everything newer than
-        ``older_than_s`` seconds, and ALWAYS the current snapshot.  Runs
-        entirely under the commit lock (maintenance, not hot path) so no
-        concurrent commit can add a reference while the live-file set is
-        computed; the lock mtime is heartbeated during the deletion loops so
-        stale-lock reclamation never steals it from a long GC.  Returns
-        {"snapshots_removed": n, "files_removed": n}."""
-        fd, token = self._acquire_lock()
+        ``older_than_s`` seconds, and ALWAYS the current snapshot.  Before
+        expired metadata is unlinked, the OLDEST retained snapshot is
+        rewritten as a checkpoint (full manifest) — retained snapshots are a
+        suffix of the linear commit chain, so that one rewrite keeps every
+        survivor resolvable without its expired ancestors.  Runs entirely
+        under the commit lock (maintenance, not hot path) so no concurrent
+        commit can add a reference while the live-file set is computed; the
+        flock survives arbitrarily long GC loops (no staleness heuristic to
+        outrun).  Returns {"snapshots_removed": n, "files_removed": n}."""
+        fd = self._acquire_lock()
         try:
-            snaps = self.snapshots()
+            snaps = self.snapshots()  # resolved, oldest first
             current = self.current_snapshot_id()
             cutoff = time.time() - older_than_s if older_than_s is not None else None
             keep: set[str] = set(s.snapshot_id for s in snaps[-keep_last:]) if keep_last else set()
@@ -464,26 +545,32 @@ class IceliteTable:
             if cutoff is not None:
                 keep.update(s.snapshot_id for s in snaps if s.committed_at >= cutoff)
             expired = [s for s in snaps if s.snapshot_id not in keep]
+            if not expired:
+                return {"snapshots_removed": 0, "files_removed": 0}
+            # keep the survivors' chains resolvable: checkpoint the oldest
+            # retained snapshot before its ancestors disappear
+            kept = [s for s in snaps if s.snapshot_id in keep]
+            if kept and kept[0].kind != "checkpoint":
+                oldest = kept[0]
+                oldest.kind = "checkpoint"
+                oldest.parent_id = None  # ancestors are gone after this GC
+                with open(self._snapshot_path(oldest.snapshot_id), "w") as f:
+                    json.dump(oldest.to_json(), f, indent=2, default=str)
             live_files: set[str] = set()
-            for s in snaps:
-                if s.snapshot_id in keep:
-                    for m in s.partitions.values():
-                        live_files.update(m["files"])
+            for s in kept:
+                for m in s.partitions.values():
+                    live_files.update(m["files"])
             dead_files: set[str] = set()
             for s in expired:
                 for m in s.partitions.values():
                     dead_files.update(f for f in m["files"] if f not in live_files)
-            for i, f in enumerate(dead_files):
-                if i % 1000 == 0:
-                    self._touch_lock()  # heartbeat: GC can outlive LOCK_STALE_S
+            for f in dead_files:
                 path = f if os.path.isabs(f) else os.path.join(self.root, f)
                 try:
                     os.unlink(path)
                 except FileNotFoundError:
                     pass
-            for i, s in enumerate(expired):
-                if i % 1000 == 0:
-                    self._touch_lock()
+            for s in expired:
                 os.unlink(self._snapshot_path(s.snapshot_id))
             # drop now-empty commit dirs so the data tree stays listable
             if os.path.isdir(self.data_dir):
@@ -500,4 +587,4 @@ class IceliteTable:
                 "files_removed": len(dead_files),
             }
         finally:
-            self._release_lock(fd, token)
+            self._release_lock(fd)

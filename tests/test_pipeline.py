@@ -89,32 +89,62 @@ def test_icelite_commit_conflict(spark, tmp_path):
     assert t.rows() == 2
 
 
-def test_icelite_stale_lock_reclaimed(spark, tmp_path, monkeypatch):
-    """A lock orphaned by a crashed writer (present, older than LOCK_STALE_S)
-    must be reclaimed instead of wedging every future commit; a FRESH lock
-    must still block and time out."""
+def test_icelite_crashed_writer_releases_lock(spark, tmp_path, monkeypatch):
+    """flock commit lock: a writer killed mid-commit must not wedge future
+    commits (the kernel releases a dead holder's flock — no staleness
+    heuristic, no reclaim race), while a LIVE holder's lock must block
+    waiters until timeout."""
     import os
+    import signal
+    import subprocess
+    import sys
     import time
 
-    t = IceliteTable(str(tmp_path / "stale"))
-    df = spark.createDataFrame([(1, "a")], ["id", "day"])
-    s1 = t.append(df, "day")
-    lock = os.path.join(t.meta_dir, ".commit.lock")
-    # orphaned lock: simulate a writer that died mid-commit 60s ago
-    with open(lock, "w") as f:
-        f.write("dead 0")
-    os.utime(lock, (time.time() - 60, time.time() - 60))
+    t = IceliteTable(str(tmp_path / "crash"))
+    s1 = t.append(spark.createDataFrame([(1, "a")], ["id", "day"]), "day")
+    lock = t._lock_path()
+
+    ready = str(tmp_path / "ready")
+    holder_src = (
+        "import fcntl, os, time, sys\n"
+        f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        f"open({ready!r}, 'w').write('1')\n"
+        "time.sleep(300)\n"
+    )
+    # crashed writer: holds the flock, dies via SIGKILL — next append must
+    # succeed immediately (kernel auto-release)
+    p = subprocess.Popen([sys.executable, "-c", holder_src])
+    for _ in range(1000):
+        if os.path.exists(ready):
+            break
+        time.sleep(0.01)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
     s2 = t.append(spark.createDataFrame([(2, "b")], ["id", "day"]), "day")
     assert s2.parent_id == s1.snapshot_id and t.rows() == 2
-    assert not os.path.exists(lock)
-    # fresh lock: a live writer's lock must NOT be stolen
-    with open(lock, "w") as f:
-        f.write(f"{os.getpid()} {time.time()}")
-    monkeypatch.setattr(IceliteTable, "LOCK_STALE_S", 9999.0)
-    monkeypatch.setattr("hdstats_spark.icelite.time.sleep", lambda s: None)
-    with pytest.raises(TimeoutError):
-        t.append(spark.createDataFrame([(3, "c")], ["id", "day"]), "day")
-    os.unlink(lock)
+
+    # live holder: a second acquire must block and time out, NOT steal
+    os.unlink(ready)
+    p = subprocess.Popen([sys.executable, "-c", holder_src])
+    try:
+        for _ in range(1000):
+            if os.path.exists(ready):
+                break
+            time.sleep(0.01)
+        monkeypatch.setattr(IceliteTable, "LOCK_TIMEOUT_S", 0.3)
+        with pytest.raises(TimeoutError):
+            t.append(spark.createDataFrame([(3, "c")], ["id", "day"]), "day")
+    finally:
+        p.kill()
+        p.wait()
+    # after the holder is gone the same table commits fine again
+    monkeypatch.setattr(IceliteTable, "LOCK_TIMEOUT_S", 20.0)
+    t.append(spark.createDataFrame([(3, "c")], ["id", "day"]), "day")
+    assert t.rows() == 3
+    # the lock FILE persists by design (unlink-on-release would let two
+    # holders lock different inodes of the same path)
+    assert os.path.exists(lock)
 
 
 def test_codec_roundtrip_spark(spark, transcripts):
@@ -259,40 +289,86 @@ def test_icelite_compact_and_expire(spark, tmp_path):
     assert raised
 
 
-def test_icelite_lock_steal_release_safety(spark, tmp_path):
-    """If a holder's lock is reclaimed as stale while it still runs, its
-    release must NOT unlink the reclaimer's fresh lock (ownership token
-    check) — otherwise a third writer could enter while the second commits,
-    breaking commit mutual exclusion."""
+def test_icelite_lock_mutual_exclusion(tmp_path, monkeypatch):
+    """flock commit lock: a second acquire (same process, different fd)
+    blocks while the first is held, succeeds after release, and a holder
+    arbitrarily older than any timeout is never 'reclaimed' — the failure
+    mode the old presence-based lock's stale heuristic could hit (the
+    stat→rename TOCTOU that let a reclaimer steal a fresh lock) cannot
+    exist: there is no reclaim path at all."""
     import os
     import time as _time
 
     t = IceliteTable(str(tmp_path / "locks"))
     os.makedirs(t.meta_dir, exist_ok=True)
-    lock = os.path.join(t.meta_dir, ".commit.lock")
 
-    # holder A acquires, then "runs long": backdate the mtime past stale
-    fd_a, tok_a = t._acquire_lock()
-    old = _time.time() - t.LOCK_STALE_S - 5
-    os.utime(lock, (old, old))
+    fd_a = t._acquire_lock()
+    # long-running holder: backdating the file mtime (the old staleness
+    # signal) must change nothing — only release frees a flock
+    old = _time.time() - 3600
+    os.utime(t._lock_path(), (old, old))
+    monkeypatch.setattr(IceliteTable, "LOCK_TIMEOUT_S", 0.2)
+    with pytest.raises(TimeoutError):
+        t._acquire_lock()
 
-    # writer B reclaims the stale lock and acquires its own
-    fd_b, tok_b = t._acquire_lock()
-    assert tok_a != tok_b and os.path.exists(lock)
+    t._release_lock(fd_a)
+    fd_b = t._acquire_lock()  # freed → immediate acquire
+    t._release_lock(fd_b)
 
-    # A finishes: release must see the token mismatch and leave B's lock
-    t._release_lock(fd_a, tok_a)
-    assert os.path.exists(lock), "A unlinked B's live lock"
-    with open(lock) as f:
-        assert f.read() == tok_b
 
-    # B's release removes its own lock normally
-    t._release_lock(fd_b, tok_b)
-    assert not os.path.exists(lock)
+def test_icelite_incremental_manifests_flat_metadata(tmp_path):
+    """Delta snapshots keep per-commit metadata O(changed partitions):
+    1000 micro-appends to a long-lived table must NOT grow the per-commit
+    snapshot JSON with table age (the old full-manifest-per-commit layout
+    was O(partitions×files) per commit).  Checkpoints at the
+    CHECKPOINT_EVERY cadence carry the full manifest; resolution through
+    the delta chain must equal the brute-force merged manifest, and
+    expire_snapshots must keep survivors resolvable after their ancestors'
+    metadata is gone."""
+    import json
+    import os
 
-    # heartbeat keeps a long-running holder alive: fresh mtime, no reclaim
-    fd_c, tok_c = t._acquire_lock()
-    os.utime(lock, (old, old))
-    t._touch_lock()
-    assert _time.time() - os.stat(lock).st_mtime < 5
-    t._release_lock(fd_c, tok_c)
+    t = IceliteTable(str(tmp_path / "inc"))
+    expect: dict[str, dict] = {}
+    delta_sizes = []
+    for i in range(1000):
+        day = f"d{i % 10}"
+        parts = {day: {"files": [f"data/fake-{i}.parquet"], "rows": 1}}
+        snap = t._commit_delta("append", "append", parts, lineage={"i": i})
+        if day in expect:
+            expect[day] = {
+                "files": expect[day]["files"] + parts[day]["files"],
+                "rows": expect[day]["rows"] + 1,
+            }
+        else:
+            expect[day] = dict(parts[day])
+        if snap.kind == "delta":
+            delta_sizes.append(os.path.getsize(t._snapshot_path(snap.snapshot_id)))
+
+    # resolution ≡ brute-force merge
+    assert t.snapshot().partitions == expect
+    assert t.rows() == 1000
+    # flat per-commit metadata: the last deltas are no bigger than the first
+    # (a full-manifest log would grow each by ~#files-so-far)
+    early = sum(delta_sizes[:20]) / 20
+    late = sum(delta_sizes[-20:]) / 20
+    assert late < early * 1.5, (early, late)
+    # checkpoints exist at the cadence and carry the full manifest
+    snaps = t.snapshots()
+    cps = [s for s in snaps if s.kind == "checkpoint"]
+    assert len(cps) == 1000 // IceliteTable.CHECKPOINT_EVERY + 1  # + root
+    raw = json.load(open(t._snapshot_path(cps[-1].snapshot_id)))
+    assert raw["partitions"] is not None
+    raw = json.load(open(t._snapshot_path(snaps[-1].snapshot_id)))
+    assert raw["partitions"] is None and raw["delta"] is not None
+
+    # a FRESH table object (cold cache) resolves identically
+    t2 = IceliteTable(t.root)
+    assert t2.snapshot().partitions == expect
+
+    # expiring ancestors re-checkpoints the oldest survivor: still resolvable
+    res = t.expire_snapshots(keep_last=5)
+    assert res["snapshots_removed"] == 995
+    t3 = IceliteTable(t.root)
+    assert t3.snapshot().partitions == expect
+    assert len(t3.snapshots()) == 5
