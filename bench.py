@@ -50,6 +50,10 @@ HEADLINE = [
     "dtw_diag",
     "dtw_diag_path",
     "symmetry_vs_median",
+    # r4 degenerate-exact mirrors: both drive the REAL batched FFT kernels
+    # (identity low-pass / constant spectrum), hash-checked at sf0.01
+    "discordance_lp_identity",
+    "fourier_const_bands",
     "minhash_lsh_poly",
     "simhash_poly",
     # degenerate-exact mirrors of the approximate kNN families (one-bucket /

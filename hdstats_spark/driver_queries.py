@@ -640,6 +640,28 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
 
 # ---------------------------------------------------------------- embeddings: similarity search
 
+def _embeddings_meta(sf_dir):
+    """(n_rows, dim) of the embeddings table from parquet FOOTERS plus one
+    row-group column read — zero Spark jobs.  Replaces the r3 pattern of a
+    full-corpus ``count()`` (auto-k sizing) plus a ``first()`` (dim probe)
+    per query, each of which was a separate Spark job on the hot path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    n = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+    first = pq.ParquetFile(files[0]).read_row_group(0, columns=["embedding"])
+    dim = len(first.column(0)[0])
+    return n, dim
+
+
 def _collect_embeddings(spark, sf_dir, predicate=None, max_rows=1_000_000):
     """Small-side embedding matrix for broadcasting (ids, float64 matrix,
     norms).  At 100 TB the small side is the query/codebook table; the
@@ -653,19 +675,31 @@ def _collect_embeddings(spark, sf_dir, predicate=None, max_rows=1_000_000):
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if predicate is not None:
-        e = e.filter(predicate)
-    # ONE scan, early-terminating: collect at most max_rows+1 rows — a
-    # (max_rows+1)-th row proves the set is unbounded without a separate
-    # count() job (which cannot be answered from footers once a predicate
-    # is pushed down, so it would re-scan the whole table)
-    pdf = e.limit(max_rows + 1).toPandas()
-    if len(pdf) > max_rows:
-        raise ValueError(
-            f"refusing to collect >{max_rows} embeddings to the driver; "
-            "use dedup_embedding_lsh / knn_lsh / knn_ivf for unbounded "
-            "corpora"
-        )
+    if predicate is None:
+        # unfiltered collect: answer the size guard from the parquet footers
+        # (metadata-only) and collect with a plain fully-parallel toPandas().
+        # The r3 guard used limit(max_rows+1).toPandas(), but Spark executes
+        # LIMIT as CollectLimit with incremental scale-up jobs at narrow
+        # initial parallelism — a 3.7× regression on this query's bench time.
+        n, _ = _embeddings_meta(sf_dir)
+        if n > max_rows:
+            raise ValueError(
+                f"refusing to collect {n} (> {max_rows}) embeddings to the "
+                "driver; use dedup_embedding_lsh / knn_lsh / knn_ivf for "
+                "unbounded corpora"
+            )
+        pdf = e.toPandas()
+    else:
+        # predicate pushed down: footers can't answer the post-filter count;
+        # the early-terminating LIMIT probe stays (filtered reference sets
+        # are tiny — query batches, fixtures — so CollectLimit is cheap here)
+        pdf = e.filter(predicate).limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"refusing to collect >{max_rows} embeddings to the driver; "
+                "use dedup_embedding_lsh / knn_lsh / knn_ivf for unbounded "
+                "corpora"
+            )
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     return ids, M, np.sqrt((M * M).sum(axis=1))
@@ -794,11 +828,15 @@ def q_embedding_dups_lsh(spark, sf_dir, threshold=0.4):
     from .operators.dedup import dedup_embedding_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    # n and dim from parquet footers — the r3 version paid a full corpus
+    # count() (auto-k) plus a first() (dim) as extra Spark jobs per call
+    n_vecs, dim = _embeddings_meta(sf_dir)
     # target_bucket=16: random synthetic embeddings are near-orthogonal, so
     # candidate volume (≈ bucket²·buckets·tables) is the cost driver; smaller
     # buckets trade a little recall for ~5× fewer exact re-ranks
-    return dedup_embedding_lsh(e, dim, threshold=threshold, tables=32, target_bucket=16)
+    return dedup_embedding_lsh(
+        e, dim, threshold=threshold, tables=32, target_bucket=16, n_vecs=n_vecs
+    )
 
 
 def q_embedding_dups_lsh_exact(spark, sf_dir, threshold=0.4):
@@ -812,7 +850,7 @@ def q_embedding_dups_lsh_exact(spark, sf_dir, threshold=0.4):
     from .operators.dedup import dedup_embedding_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    _, dim = _embeddings_meta(sf_dir)
     return dedup_embedding_lsh(e, dim, threshold=threshold, k=0, tables=1)
 
 
@@ -826,7 +864,7 @@ def q_knn_lsh_exact(spark, sf_dir):
     from .operators.simsearch import knn_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    _, dim = _embeddings_meta(sf_dir)
     return knn_lsh(
         e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), dim,
         topk=5, k=0, tables=1,
@@ -1077,10 +1115,12 @@ FROM comp JOIN med USING (t) GROUP BY comp.user_id
 
 def _dense0_event_series(spark, sf_dir):
     """Zero-filled (not completion-filled) hourly tier — the integer grid
-    the dtw_diag exactness argument needs; shared by the dist and path diag
-    queries.  Deliberately NOT .cache()d: the prep is ~1.5 s at sf0.1 while
-    materializing the dense tier costs more than the second query saves
-    (measured both ways)."""
+    the dtw_diag exactness argument needs.  r3 measured the cache both ways
+    with TWO consumers (dtw_diag, dtw_diag_path) and left it uncached; r4
+    added two more (discordance_lp_identity, fourier_const_bands — the
+    latter reads it twice via the twin union), so the ~1.5 s prep now
+    repays materialization: .cache() here dedupes by logical plan through
+    Spark's CacheManager, exactly like the completion-filled dense tier."""
     from .operators.gapfill import densify
 
     tier = (
@@ -1090,7 +1130,7 @@ def _dense0_event_series(spark, sf_dir):
     )
     return densify(tier, "1h", ["n_events"]).withColumn(
         "n_events", F.coalesce(F.col("n_events").cast("double"), F.lit(0.0))
-    )
+    ).cache()
 
 
 def q_dtw_diag(spark, sf_dir):
@@ -1271,6 +1311,122 @@ a AS (SELECT user_id, {means}, {meds} FROM b GROUP BY user_id)
 SELECT user_id,
        round(1.0 - ({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0), 6) AS symmetry
 FROM a
+"""
+
+
+def q_discordance_lp_identity(spark, sf_dir):
+    """``discordance`` (ts.pyx:140-156) driven through its degenerate-EXACT
+    setting — DuckDB-hash-green evidence for the batched FFT kernel:
+
+      * low-pass cutoff n ≥ every series length ⇒ ``Yp[:, n:] = 0`` zeroes
+        nothing and the per-series low-pass is Re(ifft(fft(x))), which casts
+        back to the float32 input BIT-exactly (the complex128 round-trip
+        error ~1e-13 is far below half a float32 ULP);
+      * an antisymmetric TWIN of every series (same grid, negated values)
+        makes the per-t area mean cancel to exactly 0.0 (integer partial
+        sums are exact in double in any order), so |ifft(fft(0))| ≡ 0;
+      * the grid is zero-filled integer event counts, so the kernel's
+        float32 residual mean is EXACTLY f32(Σx)/f32(L) (integer partial
+        sums are exact in float32 below 2²⁴), which the oracle replicates
+        with DuckDB REAL arithmetic — bit-equal, verified over randomized
+        trials, not rounding luck.
+
+    The real kernel (kernels_np.discordance_batch: batched fft, slice-zero,
+    ifft, residual, mean) executes end-to-end; only the SETTING is
+    degenerate — same pattern as dtw_diag / knn_lsh_exact."""
+    import numpy as np
+
+    from .operators.series import discordance_batched, series_table
+
+    dense0 = _dense0_event_series(spark, sf_dir)
+    twin = dense0.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("~"))
+    ).withColumn("n_events", -F.col("n_events"))
+    both = dense0.unionByName(twin)
+    n_lp = 1 << 30  # ≥ any series length: the low-pass becomes the identity
+    area = (
+        both.groupBy("t")
+        .agg(F.avg(F.col("n_events").cast("float")).alias("mv"))
+        .orderBy("t")
+        .collect()
+    )
+    curve = np.asarray([r["mv"] for r in area], dtype=np.float32)
+    Y = np.fft.fft(curve)  # exact zeros in, exact zeros out
+    area_lp = np.abs(np.fft.ifft(Y)).astype(np.float32)
+    st = series_table(both, ["n_events"])
+    out = discordance_batched(st, "n_events", area_lp, n=n_lp)
+    return out.filter(~F.col("conv_id").endswith("~")).select(
+        F.col("conv_id").alias("user_id"),
+        F.round(F.col("discordance").cast("double"), 6).alias("discordance"),
+    )
+
+
+def _sql_discordance_lp_identity():
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+bounds AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, b0, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), d AS (
+  SELECT g.user_id, coalesce(CAST(b.n_events AS DOUBLE), 0.0) AS v
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+)
+-- area curve cancels to exactly 0, so discordance = the kernel's float32
+-- mean of the integer series: f32(S)/f32(L), replicated in REAL arithmetic
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       round(CAST(CAST(CAST(sum(v) AS REAL) / CAST(count(*) AS REAL) AS REAL) AS DOUBLE), 6)
+         AS discordance
+FROM d GROUP BY user_id
+"""
+
+
+def q_fourier_const_bands(spark, sf_dir):
+    """``fourier_mean/std/median`` (ts.pyx:159-192) driven through the
+    constant-series degenerate — DuckDB-hash-green evidence for
+    kernels_np.fourier_batch: each user's series is replaced by its constant
+    total event count, whose spectrum is all-DC; every band starts at
+    coefficient 1 (the reference skips DC), so all nine band stats are 0 up
+    to FFT noise ~1e-9 ≪ the 6-dp rounding (a band whose slice lies beyond
+    the series length is NaN → NULL on both sides).  The real kernel —
+    length-class stacking, batched complex128 FFT, |·| band slicing,
+    mean/std/median reductions — executes end-to-end."""
+    from .operators.series import fourier_features_batched, series_table
+
+    dense0 = _dense0_event_series(spark, sf_dir)
+    wall = Window.partitionBy("conv_id")
+    flat = dense0.withColumn(
+        "n_events", F.sum("n_events").over(wall).cast("double")
+    )
+    st = series_table(flat, ["n_events"])
+    out = fourier_features_batched(st, "n_events", n=3, step=5)
+    cols = [f"{stat}_{k}" for stat in ("fmean", "fstd", "fmedian") for k in range(3)]
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        *[
+            F.round(
+                F.when(F.isnan(F.col(c)), None).otherwise(F.col(c)).cast("double"), 6
+            ).alias(c)
+            for c in cols
+        ],
+    )
+
+
+def _sql_fourier_const_bands(n=3, step=5):
+    bands = ", ".join(
+        f"CASE WHEN L > {1 + k * step} THEN 0.0 END AS {stat}_{k}"
+        for stat in ("fmean", "fstd", "fmedian")
+        for k in range(n)
+    )
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+bounds AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+), lens AS (
+  SELECT user_id, CAST(epoch(b1 - b0) / 3600 AS BIGINT) + 1 AS L FROM bounds
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id, {bands} FROM lens
 """
 
 
@@ -1475,7 +1631,7 @@ def q_knn_lsh(spark, sf_dir):
     from .operators.simsearch import knn_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    _, dim = _embeddings_meta(sf_dir)
     return knn_lsh(
         e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5), dim,
         topk=5, k=4, tables=32,
@@ -1780,6 +1936,8 @@ def queries():
         "dtw_diag": q_dtw_diag,
         "dtw_diag_path": q_dtw_diag_path,
         "symmetry_vs_median": q_symmetry_vs_median,
+        "discordance_lp_identity": q_discordance_lp_identity,
+        "fourier_const_bands": q_fourier_const_bands,
         "number_peaks": q_number_peaks,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
@@ -1829,6 +1987,8 @@ def oracles():
         "dtw_diag": _sql_dtw_diag(),
         "dtw_diag_path": _sql_dtw_diag_path(),
         "symmetry_vs_median": _sql_symmetry_vs_median(),
+        "discordance_lp_identity": _sql_discordance_lp_identity(),
+        "fourier_const_bands": _sql_fourier_const_bands(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_lsh_poly": _sql_minhash_lsh_poly(),
         "simhash_poly": _sql_simhash_poly(),

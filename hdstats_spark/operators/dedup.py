@@ -222,6 +222,7 @@ def dedup_embedding_lsh(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     target_bucket: int = 64,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs AT SCALE: random-hyperplane LSH bucket
     self-join → exact cosine re-rank → τ filter.
@@ -238,14 +239,22 @@ def dedup_embedding_lsh(
     P(candidate) = 1 − (1 − p^k)^tables with p = 1 − θ/π, so larger corpora
     need more tables for the same recall at a given τ; recall vs the exact
     pairs is pytest-verified at the driver scale
-    (tests/test_dedup_simsearch.py)."""
+    (tests/test_dedup_simsearch.py).  Pass ``n_vecs`` when the corpus size
+    is already known (e.g. from parquet footers) — otherwise auto-k pays a
+    full corpus ``count()`` job."""
     from .simsearch import lsh_signatures
 
     if k is None:
-        n_vecs = emb_df.count()
+        if n_vecs is None:
+            n_vecs = emb_df.count()
         k = max(4, int(np.ceil(np.log2(max(n_vecs / target_bucket, 2.0)))))
 
-    sig = lsh_signatures(emb_df, dim, k, tables, seed, id_col, emb_col)
+    # cached: the signature table feeds BOTH sides of the bucket self-join —
+    # uncached, the mapInPandas signature pass runs twice.  At 10^9 vectors
+    # this is the materialized LSH *index* table (you'd persist it to the
+    # lake and share it across dedup runs, exactly like the minhash sig
+    # table); memory cost is N·tables (id, table, sig) longs.
+    sig = lsh_signatures(emb_df, dim, k, tables, seed, id_col, emb_col).cache()
     a = sig.select(F.col(id_col).alias("id_a"), "table", "sig")
     b = sig.select(F.col(id_col).alias("id_b"), "table", "sig")
     cands = (
