@@ -359,6 +359,153 @@ def streaming_neardup_simhash(
     )
 
 
+def streaming_neardup_minhash(
+    doc_stream: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.25,
+    n: int = 2,
+    seed: int = 7,
+    watermark: str = "10 minutes",
+    state_ttl_seconds: int = 3600,
+    max_state_docs: int = 256,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming MinHash+LSH near-duplicate detection — the online
+    counterpart of the batch ``minhash_lsh_pairs`` operator, dropped into
+    the same band-bucket ``applyInPandasWithState`` machinery as
+    ``streaming_neardup_simhash``:
+
+      1. stateless signatures: the batch path's explode→groupBy(doc)→min
+        aggregation is a *streaming aggregation* (Spark's checker rejects
+        chaining stateful ops after it), so the stream computes the SAME
+        signature map-only — ``array_min`` over the per-shingle affine
+        permutations (identical hash, identical constants via
+        ``minhash_perm_constants``, so streamed minhashes equal batch
+        minhashes exactly; min over a multiset ignores the batch path's
+        array_distinct);
+      2. each doc explodes into its ``bands`` band keys
+        (xxhash64 of the band's r minhashes — the batch bucket key);
+      3. the (band, key) state op stores (doc_id, full k-wide signature)
+        per bucket; each arriving doc's agreement fractions against the
+        bucket are one vectorized compare, pairs with
+        est = round(agree/k, 6) ≥ threshold emit from their MINIMAL
+        agreeing band only (exactly-once, same rule and replay/eviction
+        guards as the simhash op, including the bounded evicted-id set)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import _MERSENNE, minhash_perm_constants, shingles_col
+
+    assert k % bands == 0
+    r = k // bands
+    a, b = minhash_perm_constants(k, seed)
+    hashed = F.transform(
+        shingles_col(n, text_col), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    )
+    def _mh(j):  # closure (a 2-arg lambda would be read as (element, index))
+        return F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda h: F.pmod(h * F.lit(a[j]) + F.lit(b[j]), F.lit(_MERSENNE)),
+            )
+        ).alias(f"mh_{j}")
+
+    sig_cols = [_mh(j) for j in range(k)]
+    fp = (
+        doc_stream.select(id_col, ts_col, hashed.alias("_sh"))
+        .filter(F.size("_sh") > 0)  # shingle-less docs have no signature (batch drops them too)
+        .select(id_col, ts_col, *sig_cols)
+    )
+    banded = fp.select(
+        id_col,
+        ts_col,
+        F.array(*[F.col(f"mh_{j}") for j in range(k)]).alias("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.xxhash64(*[F.col(f"mh_{band * r + j}") for j in range(r)]).alias("key"),
+                )
+                for band in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, ts_col, "sig", "b.band", "b.key")
+
+    out_schema = f"id_a long, id_b long, est_jaccard double, {ts_col} timestamp"
+    state_schema = "ids array<long>, sigs array<long>, evicted array<long>, last_ms long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            return
+        band = int(key[0])
+        pdf = (pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)).sort_values(
+            [ts_col, id_col]
+        )
+        if state.exists:
+            ids, sigs, evicted, last_ms = state.get
+            ids = list(ids)
+            sigs = list(sigs)
+            evicted = list(evicted)
+        else:
+            ids, sigs, evicted, last_ms = [], [], [], 0
+        new_ids = pdf[id_col].to_numpy(dtype=np.int64)
+        new_sigs = [np.asarray(s, dtype=np.int64) for s in pdf["sig"]]
+        new_ts = pdf[ts_col].to_numpy("datetime64[us]")
+        seen = set(ids)
+        seen_evicted = set(evicted)
+        out_a, out_b, out_e, out_t = [], [], [], []
+        for i in range(len(new_ids)):
+            if int(new_ids[i]) in seen or int(new_ids[i]) in seen_evicted:
+                continue  # at-least-once replay: idempotent skip
+            if ids:
+                S = np.asarray(sigs, dtype=np.int64).reshape(len(ids), k)
+                eq = S == new_sigs[i][None, :]  # (m, k)
+                est = np.round(eq.sum(axis=1) / k, 6)
+                # per-band full agreement (all r minhashes equal) for the
+                # minimal-agreeing-band exactly-once rule
+                band_eq = eq.reshape(len(ids), bands, r).all(axis=2)  # (m, bands)
+                hit = np.nonzero(est >= threshold)[0]
+                for j in hit:
+                    agreeing = np.nonzero(band_eq[j])[0]
+                    if len(agreeing) == 0 or agreeing[0] != band:
+                        continue  # discovered here, emitted by the minimal band
+                    out_a.append(ids[j])
+                    out_b.append(int(new_ids[i]))
+                    out_e.append(float(est[j]))
+                    out_t.append(new_ts[i])
+            ids.append(int(new_ids[i]))
+            sigs.extend(int(x) for x in new_sigs[i])
+            seen.add(int(new_ids[i]))
+        if len(ids) > max_state_docs:  # hot bucket: keep the most recent
+            cut = len(ids) - max_state_docs
+            evicted = (evicted + ids[:cut])[-4 * max_state_docs:]
+            ids = ids[cut:]
+            sigs = sigs[cut * k:]
+        last_ms = max(int(last_ms), int(new_ts.max().astype("int64") // 1000))
+        state.update((ids, sigs, evicted, last_ms))
+        state.setTimeoutTimestamp(last_ms + state_ttl_seconds * 1000)
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e, ts_col: out_t}
+            )
+
+    return (
+        banded.withWatermark(ts_col, watermark)
+        .groupBy("band", "key")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_dir: str, checkpoint: str, name: str = "tier_1m_stream",
     watermark: str = "10 minutes",

@@ -377,3 +377,91 @@ def test_streaming_neardup_simhash_equals_batch(spark, tmp_path):
     }
     assert streamed == expect, (streamed, expect)
     assert (3, 200) in streamed and streamed[(3, 200)] == 0  # cross-batch exact dup
+
+
+def test_streaming_neardup_minhash_equals_batch(spark, tmp_path):
+    """Streamed MinHash+LSH near-dup pairs ≡ batch minhash_lsh_pairs on the
+    same corpus (as normalized {pair: est_jaccard} maps): the stream's
+    map-only signatures equal the batch explode/groupBy signatures exactly
+    (same hash, same permutation constants), the band-bucket state op finds
+    every batch pair — including pairs whose two sides arrive in DIFFERENT
+    micro-batches — with identical estimates, emits each exactly once
+    (minimal-agreeing-band rule), and ignores an at-least-once replay."""
+    import datetime
+
+    import numpy as np
+
+    from hdstats_spark.operators.dedup import minhash_lsh_pairs
+    from hdstats_spark.streaming.stream import streaming_neardup_minhash
+
+    rng = np.random.default_rng(9)
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    t0 = datetime.datetime(2025, 4, 1)
+    rows = []
+    for i in range(40):
+        words = [vocab[x] for x in rng.integers(0, len(vocab), size=40)]
+        rows.append((i, t0 + datetime.timedelta(minutes=i), " ".join(words)))
+    # near-dups of docs 0..7 (2-word edits) arriving in the SECOND batch
+    for i in range(8):
+        words = rows[i][2].split()
+        words[5] = "zulu"
+        words[20] = "yankee"
+        rows.append((100 + i, t0 + datetime.timedelta(minutes=60 + i), " ".join(words)))
+    rows.append((200, t0 + datetime.timedelta(minutes=70), rows[3][2]))  # exact dup
+
+    docs = spark.createDataFrame(rows, ["doc_id", "ts", "text"])
+    src = str(tmp_path / "mh_src")
+    os.makedirs(src)
+    first = [r for r in rows if r[0] < 100]
+    second = [r for r in rows if r[0] >= 100]
+    spark.createDataFrame(first, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+    base = time.time()
+    for p in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(p, (base - 100, base - 100))
+    spark.createDataFrame(second, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+    # at-least-once replay as a third file: replayed ids must be ignored
+    time.sleep(1.1)
+    spark.createDataFrame(second, ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_neardup_minhash(
+        stream, k=8, bands=4, threshold=0.25, n=2,
+        watermark="1 hour", state_ttl_seconds=86400,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mh_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = spark.table("mh_stream").toPandas()
+    assert (got.id_a != got.id_b).all(), got
+    keys = got.apply(lambda r: (min(r.id_a, r.id_b), max(r.id_a, r.id_b)), axis=1)
+    assert not keys.duplicated().any(), got
+    streamed = {
+        (min(a, b), max(a, b)): e
+        for a, b, e in zip(got.id_a, got.id_b, got.est_jaccard)
+    }
+    batch = minhash_lsh_pairs(
+        docs.select("doc_id", "text"), k=8, bands=4, threshold=0.25, n=2
+    ).toPandas()
+    expect = {
+        (min(a, b), max(a, b)): e
+        for a, b, e in zip(batch.id_a, batch.id_b, batch.est_jaccard)
+    }
+    assert streamed == expect, (streamed, expect)
+    assert (3, 200) in streamed and streamed[(3, 200)] == 1.0  # cross-batch exact dup
