@@ -35,8 +35,15 @@ def _planes(dim: int, k: int, tables: int, seed: int) -> np.ndarray:
 def lsh_signatures(
     emb_df: DataFrame, dim: int, k: int = 16, tables: int = 8, seed: int = 11,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, table, sig) — one k-bit signature per hash table per vector."""
+    """(id, table, sig) — one k-bit signature per hash table per vector.
+
+    ``keep_cols`` are carried through unchanged (e.g. the event-time and
+    embedding columns for the streaming near-dup operator — mapInPandas is
+    stateless, so the same kernel serves batch and stream); the declared
+    schema iterates ``keep`` so schema order always matches the frame."""
+    keep = list(keep_cols or [])
     planes = _planes(dim, k, tables, seed)
     b = emb_df.sparkSession.sparkContext.broadcast(planes)
     shifts = np.arange(k, dtype=np.uint64)
@@ -44,25 +51,32 @@ def lsh_signatures(
     def gen(batches):
         P = b.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            out_ids, out_tbl, out_sig = [], [], []
+            frames = []
             for t in range(P.shape[0]):
                 bits = (X @ P[t] > 0).astype(np.uint64)  # (n, k)
                 sig = (bits << shifts[None, :]).sum(axis=1).astype(np.int64)
-                out_ids.append(ids)
-                out_tbl.append(np.full(len(ids), t, dtype=np.int32))
-                out_sig.append(sig)
-            yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(out_ids),
-                    "table": np.concatenate(out_tbl),
-                    "sig": np.concatenate(out_sig),
-                }
-            )
+                f = pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "table": np.full(len(ids), t, dtype=np.int32),
+                        "sig": sig,
+                    }
+                )
+                for c in keep:
+                    f[c] = pdf[c].to_numpy()
+                frames.append(f)
+            yield frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
 
-    return emb_df.select(id_col, emb_col).mapInPandas(
-        gen, f"{id_col} long, table int, sig long"
+    keep_schema = "".join(
+        f", {c} {emb_df.schema[c].dataType.simpleString()}" for c in keep
+    )
+    cols = [id_col, emb_col] + [c for c in keep if c != emb_col]
+    return emb_df.select(*cols).mapInPandas(
+        gen, f"{id_col} long, table int, sig long{keep_schema}"
     )
 
 

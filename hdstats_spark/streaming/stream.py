@@ -506,6 +506,134 @@ def streaming_neardup_minhash(
     )
 
 
+def streaming_neardup_embedding(
+    emb_stream: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    k: int = 4,
+    tables: int = 8,
+    seed: int = 11,
+    watermark: str = "10 minutes",
+    state_ttl_seconds: int = 3600,
+    max_state_docs: int = 256,
+    ts_col: str = "ts",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Streaming embedding near-duplicate detection — the online counterpart
+    of the batch ``dedup_embedding_lsh`` operator, completing the streaming
+    near-dup family (exact / SimHash / MinHash / embedding): the stateless
+    random-hyperplane signature kernel (``operators.simsearch.lsh_signatures``
+    — mapInPandas, one GEMM per Arrow batch) runs unchanged on the stream,
+    each vector lands in its ``tables`` (table, sig) buckets, and the same
+    ``applyInPandasWithState`` bucket index verifies arrivals with an exact
+    cosine GEMM against the bucket's stored vectors.
+
+    Exactly-once via the minimal-agreeing-TABLE rule: both vectors are in
+    hand, the hyperplanes are deterministic from (dim, k, tables, seed), so
+    every discovering bucket recomputes the pair's full signature-agreement
+    set and only the first agreeing table's bucket emits — the simhash /
+    minhash ops' minimal-band rule with hyperplane tables as bands.  Same
+    bounded evicted-id replay guard and TTL'd state; candidate generation is
+    identical to the batch operator's bucket self-join, so streamed pairs
+    equal batch pairs for on-time data (tested)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.simsearch import _planes, lsh_signatures
+
+    keyed = lsh_signatures(
+        emb_stream.select(id_col, ts_col, emb_col), dim, k, tables, seed,
+        id_col, emb_col, keep_cols=[ts_col, emb_col],
+    )
+
+    out_schema = f"id_a long, id_b long, cos_sim double, {ts_col} timestamp"
+    state_schema = "ids array<long>, embs array<float>, evicted array<long>, last_ms long"
+    shifts = np.arange(k, dtype=np.uint64)
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdfs = [p for p in pdf_iter if len(p)]
+        if not pdfs:
+            return
+        table = int(key[0])
+        pdf = (pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)).sort_values(
+            [ts_col, id_col]
+        )
+        if state.exists:
+            ids, embs, evicted, last_ms = state.get
+            ids = list(ids)
+            embs = list(embs)
+            evicted = list(evicted)
+        else:
+            ids, embs, evicted, last_ms = [], [], [], 0
+        new_ids = pdf[id_col].to_numpy(dtype=np.int64)
+        new_embs = [np.asarray(e, dtype=np.float32) for e in pdf[emb_col]]
+        new_ts = pdf[ts_col].to_numpy("datetime64[us]")
+        P = _planes(dim, k, tables, seed)  # deterministic; no broadcast needed
+        seen = set(ids)
+        seen_evicted = set(evicted)
+        out_a, out_b, out_s, out_t = [], [], [], []
+
+        def sigs_of(v64):
+            bits = (v64[None, :] @ P > 0).astype(np.uint64)  # (tables, k)
+            return (bits << shifts[None, :]).sum(axis=1)
+
+        for i in range(len(new_ids)):
+            if int(new_ids[i]) in seen or int(new_ids[i]) in seen_evicted:
+                continue  # at-least-once replay: idempotent skip
+            x = new_embs[i].astype(np.float64)
+            if ids:
+                M = np.asarray(embs, dtype=np.float64).reshape(len(ids), dim)
+                # elementwise-multiply + pairwise sum, NOT a BLAS dot: the
+                # batch rerank (dedup.py) reduces with (A*B).sum(axis=1),
+                # and matching its summation order keeps the rounded sims
+                # bit-equal to the batch operator's
+                sim = np.round(
+                    (M * x[None, :]).sum(axis=1)
+                    / (np.sqrt((M * M).sum(axis=1)) * np.sqrt((x * x).sum())),
+                    6,
+                )
+                hit = np.nonzero(sim >= threshold)[0]
+                if len(hit):
+                    sx = sigs_of(x)
+                    for j in hit:
+                        sy = sigs_of(M[j])
+                        agreeing = np.nonzero(sx == sy)[0]
+                        if len(agreeing) == 0 or agreeing[0] != table:
+                            continue  # emitted by the minimal agreeing table
+                        out_a.append(ids[j])
+                        out_b.append(int(new_ids[i]))
+                        out_s.append(float(sim[j]))
+                        out_t.append(new_ts[i])
+            ids.append(int(new_ids[i]))
+            embs.extend(float(v) for v in new_embs[i])
+            seen.add(int(new_ids[i]))
+        if len(ids) > max_state_docs:  # hot bucket: keep the most recent
+            cut = len(ids) - max_state_docs
+            evicted = (evicted + ids[:cut])[-4 * max_state_docs:]
+            ids = ids[cut:]
+            embs = embs[cut * dim:]
+        last_ms = max(int(last_ms), int(new_ts.max().astype("int64") // 1000))
+        state.update((ids, embs, evicted, last_ms))
+        state.setTimeoutTimestamp(last_ms + state_ttl_seconds * 1000)
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cos_sim": out_s, ts_col: out_t}
+            )
+
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .groupBy("table", "sig")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_dir: str, checkpoint: str, name: str = "tier_1m_stream",
     watermark: str = "10 minutes",

@@ -465,3 +465,97 @@ def test_streaming_neardup_minhash_equals_batch(spark, tmp_path):
     }
     assert streamed == expect, (streamed, expect)
     assert (3, 200) in streamed and streamed[(3, 200)] == 1.0  # cross-batch exact dup
+
+
+def test_streaming_neardup_embedding_equals_batch(spark, tmp_path):
+    """Streamed embedding near-dup pairs ≡ batch dedup_embedding_lsh on the
+    same corpus (as normalized {pair: cos_sim} maps): identical hyperplane
+    signatures (same seed) make the streamed bucket index generate exactly
+    the batch self-join's candidate set; the exact-cosine verify and τ
+    filter match, pairs split across micro-batches are found online, each
+    emits once (minimal-agreeing-table rule), and an at-least-once replay
+    is ignored."""
+    import datetime
+
+    import numpy as np
+
+    from hdstats_spark.operators.dedup import dedup_embedding_lsh
+    from hdstats_spark.streaming.stream import streaming_neardup_embedding
+
+    rng = np.random.default_rng(21)
+    dim, t0 = 16, datetime.datetime(2025, 4, 1)
+    rows = []
+    base_vecs = {}
+    for i in range(40):
+        v = rng.standard_normal(dim)
+        base_vecs[i] = v
+        rows.append((i, t0 + datetime.timedelta(minutes=i), [float(x) for x in v]))
+    # near-dups of vecs 0..7 (small perturbations) arriving in the SECOND batch
+    for i in range(8):
+        v = base_vecs[i] + 0.05 * rng.standard_normal(dim)
+        rows.append((100 + i, t0 + datetime.timedelta(minutes=60 + i), [float(x) for x in v]))
+    rows.append((200, t0 + datetime.timedelta(minutes=70), rows[3][2]))  # exact dup
+
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType, TimestampType,
+    )
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    embs = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src)
+    first = [r for r in rows if r[0] < 100]
+    second = [r for r in rows if r[0] >= 100]
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(src)
+    base = time.time()
+    for p in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(p, (base - 100, base - 100))
+    spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # at-least-once replay as a third file
+    spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_neardup_embedding(
+        stream, dim=dim, threshold=0.4, k=4, tables=8, seed=11,
+        watermark="1 hour", state_ttl_seconds=86400,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("emb_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "emb_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = spark.table("emb_stream").toPandas()
+    assert (got.id_a != got.id_b).all(), got
+    keys = got.apply(lambda r: (min(r.id_a, r.id_b), max(r.id_a, r.id_b)), axis=1)
+    assert not keys.duplicated().any(), got
+    streamed = {
+        (min(a, b), max(a, b)): s
+        for a, b, s in zip(got.id_a, got.id_b, got.cos_sim)
+    }
+    batch = dedup_embedding_lsh(
+        embs.select("vec_id", "embedding"), dim, threshold=0.4, k=4, tables=8, seed=11
+    ).toPandas()
+    expect = {
+        (min(a, b), max(a, b)): s
+        for a, b, s in zip(batch.id_a, batch.id_b, batch.cos_sim)
+    }
+    assert streamed == expect, (streamed, expect)
+    assert (3, 200) in streamed and streamed[(3, 200)] == 1.0  # cross-batch exact dup
