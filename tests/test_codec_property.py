@@ -52,3 +52,27 @@ def test_dod_monotone_series_compresses(n, start):
     npt.assert_array_equal(decode_dod_timestamps(blob), t)
     if n >= 32:
         assert len(blob) < 8 * n * 0.25  # ≥4× on perfectly regular stamps
+
+
+def test_ts_blob_version_header_roundtrip_and_reject():
+    """Versioned ts_blob wrapper: µs blobs round-trip through the header;
+    an unversioned (pre-µs, epoch-seconds) blob or an unknown version is
+    rejected explicitly instead of silently decoding 10^6× too small."""
+    import pytest
+
+    from hdstats_spark.compression.tiercodec import (
+        _TS_MAGIC, _TS_VER_US, _ts_decode_us, _ts_encode_us,
+    )
+
+    ts = np.datetime64("2025-03-01T12:00:00.250", "us").astype("int64") + 60_000_000 * np.arange(
+        50, dtype=np.int64
+    )
+    blob = _ts_encode_us(ts)
+    assert blob[:2] == _TS_MAGIC and blob[2] == _TS_VER_US
+    npt.assert_array_equal(_ts_decode_us(blob), ts)
+
+    legacy = encode_dod_timestamps(ts // 1_000_000)  # old headerless format
+    with pytest.raises(ValueError, match="unversioned"):
+        _ts_decode_us(legacy)
+    with pytest.raises(ValueError, match="version"):
+        _ts_decode_us(_TS_MAGIC + bytes([9]) + encode_dod_timestamps(ts))
