@@ -579,8 +579,14 @@ def streaming_neardup_embedding(
         out_a, out_b, out_s, out_t = [], [], [], []
 
         def sigs_of(v64):
-            bits = (v64[None, :] @ P > 0).astype(np.uint64)  # (tables, k)
-            return (bits << shifts[None, :]).sum(axis=1)
+            # one (1, dim) @ (dim, k) GEMM per table — the same matmul the
+            # signature kernel (lsh_signatures) runs, so the recomputed
+            # signatures match the bucket keys
+            sigs = np.empty(tables, dtype=np.int64)
+            for t in range(tables):
+                bits = (v64[None, :] @ P[t] > 0).astype(np.uint64)  # (1, k)
+                sigs[t] = int((bits[0] << shifts).sum())
+            return sigs
 
         for i in range(len(new_ids)):
             if int(new_ids[i]) in seen or int(new_ids[i]) in seen_evicted:
