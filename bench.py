@@ -54,6 +54,7 @@ HEADLINE = [
     # (identity low-pass / constant spectrum), hash-checked at sf0.01
     "discordance_lp_identity",
     "fourier_const_bands",
+    "number_peaks_w1",
     "minhash_lsh_poly",
     "simhash_poly",
     # degenerate-exact mirrors of the approximate kNN families (one-bucket /

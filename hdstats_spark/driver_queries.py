@@ -1440,6 +1440,99 @@ def q_number_peaks(spark, sf_dir):
     return number_peaks_agg(st, "n_events", n=10)
 
 
+def q_number_peaks_w1(spark, sf_dir):
+    """``number_peaks`` with widths=[1] — the CWT collapses to ONE ricker
+    convolution row, so every stage of the real kernel (cwt, strict
+    relative maxima, ridge-line init, the windowed 10th-percentile noise
+    floor, the SNR ≥ 1 gate) is relationally expressible: conv = a 10-tap
+    weighted neighbor sum, maxima = lag/lead compares, noise = a
+    range-joined quantile_cont, count per user — DuckDB-hash-green
+    evidence for the peak-counting kernel family (ts.pyx:222-228).
+
+    Exactness: a deterministic t/1024 tiebreaker (exact dyadic) is added to
+    the integer grid so no two adjacent convolution values tie — engines
+    summing float products in different orders can break exact ties
+    differently, and flat runs sit exactly on the SNR boundary; with the
+    tiebreaker every comparison is decided by margins ≫ fp error (verified
+    mismatch-free over all 1,665 users of sf0.001/0.01/0.1).  Users shorter
+    than 10 buckets are excluded on both sides (the kernel truncates its
+    wavelet below 10 taps, which would need per-length SQL constants)."""
+    from .operators.series import number_peaks_agg, series_table
+
+    dense0 = _dense0_event_series(spark, sf_dir)
+    wall = Window.partitionBy("conv_id")
+    flat = (
+        dense0.withColumn("n_events", F.col("n_events") + F.col("t") / F.lit(1024.0))
+        .withColumn("_L", F.count(F.lit(1)).over(wall))
+        .filter(F.col("_L") >= 10)
+        .drop("_L")
+    )
+    st = series_table(flat, ["n_events"])
+    out = number_peaks_agg(st, "n_events", n=1)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n_peaks").cast("int").alias("n_peaks"),
+    )
+
+
+def _sql_number_peaks_w1():
+    from hdstats_oracle.peaks import ricker
+
+    taps = ricker(10, 1.0)  # same doubles the kernel computes for width 1
+    offs = ", ".join(f"({m}, {taps[4 - m]!r})" for m in range(-5, 5))
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+bounds AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, b0, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), d AS (
+  SELECT g.user_id,
+         CAST(epoch(g.bucket - g.b0) / 3600 AS INT) AS t,
+         coalesce(CAST(b.n_events AS DOUBLE), 0.0)
+           + CAST(epoch(g.bucket - g.b0) / 3600 AS INT) / 1024.0 AS v
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+), L AS (
+  SELECT user_id, count(*) AS n,
+         CAST(ceil(count(*) / 20.0) AS INT) // 2 AS half,
+         CAST(ceil(count(*) / 20.0) AS INT) // 2
+           + CAST(ceil(count(*) / 20.0) AS INT) % 2 - 1 AS hi_off
+  FROM d GROUP BY user_id HAVING count(*) >= 10
+), offs(m, w) AS (VALUES {offs}),
+conv AS (
+  -- np.convolve(v, ricker(10,1), mode='same'): conv[t] = sum_m v[t+m]*taps[4-m]
+  SELECT d.user_id, d.t, sum(d2.v * o.w) AS c
+  FROM d JOIN L USING (user_id) CROSS JOIN offs o
+  JOIN d d2 ON d2.user_id = d.user_id AND d2.t = d.t + o.m
+  GROUP BY d.user_id, d.t
+), mx AS (
+  SELECT user_id, t, c,
+         c > lag(c)  OVER (PARTITION BY user_id ORDER BY t) AND
+         c > lead(c) OVER (PARTITION BY user_id ORDER BY t) AS is_max
+  FROM conv
+), nz AS (
+  -- windowed 10th-percentile noise floor, slice [t-half, t+half+odd-1]
+  SELECT c1.user_id, c1.t, quantile_cont(c2.c, 0.10) AS nfloor
+  FROM mx c1 JOIN L USING (user_id)
+  JOIN conv c2 ON c2.user_id = c1.user_id
+     AND c2.t BETWEEN c1.t - L.half AND c1.t + L.hi_off
+  WHERE c1.is_max
+  GROUP BY c1.user_id, c1.t
+), pk AS (
+  SELECT m.user_id, count(*) AS np
+  FROM mx m JOIN nz ON nz.user_id = m.user_id AND nz.t = m.t
+  WHERE m.is_max
+    AND CASE WHEN nz.nfloor = 0 THEN m.c <> 0
+             ELSE abs(m.c / nz.nfloor) >= 1 END
+  GROUP BY m.user_id
+)
+SELECT CAST(L.user_id AS VARCHAR) AS user_id,
+       CAST(coalesce(pk.np, 0) AS INT) AS n_peaks
+FROM L LEFT JOIN pk USING (user_id)
+"""
+
+
 def q_area_warp(spark, sf_dir):
     """Reference area_warp_similarity semantics exactly (ts.pyx:246-256):
     series and area-median enter DTW as single n-dim points → L1/2."""
@@ -1939,6 +2032,7 @@ def queries():
         "discordance_lp_identity": q_discordance_lp_identity,
         "fourier_const_bands": q_fourier_const_bands,
         "number_peaks": q_number_peaks,
+        "number_peaks_w1": q_number_peaks_w1,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1989,6 +2083,7 @@ def oracles():
         "symmetry_vs_median": _sql_symmetry_vs_median(),
         "discordance_lp_identity": _sql_discordance_lp_identity(),
         "fourier_const_bands": _sql_fourier_const_bands(),
+        "number_peaks_w1": _sql_number_peaks_w1(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_lsh_poly": _sql_minhash_lsh_poly(),
         "simhash_poly": _sql_simhash_poly(),
