@@ -640,11 +640,16 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
 
 # ---------------------------------------------------------------- embeddings: similarity search
 
-def _embeddings_meta(sf_dir):
-    """(n_rows, dim) of the embeddings table from parquet FOOTERS plus one
-    row-group column read — zero Spark jobs.  Replaces the r3 pattern of a
-    full-corpus ``count()`` (auto-k sizing) plus a ``first()`` (dim probe)
-    per query, each of which was a separate Spark job on the hot path."""
+def _embeddings_meta(sf_dir, with_dim=True):
+    """(n_rows, dim) of the embeddings table from parquet FOOTERS — zero
+    Spark jobs.  Replaces the r3 pattern of a full-corpus ``count()``
+    (auto-k sizing) plus a ``first()`` (dim probe) per query, each of which
+    was a separate Spark job on the hot path.
+
+    ``with_dim=False`` skips the one-row-group column read (callers that
+    only need the size guard shouldn't pay a column-chunk read); the dim
+    probe scans files for the first non-empty row group, so empty leading
+    part files don't break it."""
     import os
 
     import pyarrow.parquet as pq
@@ -654,12 +659,19 @@ def _embeddings_meta(sf_dir):
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
         )
+        if not files:
+            raise FileNotFoundError(f"no parquet data files under {path}")
     else:
         files = [path]
-    n = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
-    first = pq.ParquetFile(files[0]).read_row_group(0, columns=["embedding"])
-    dim = len(first.column(0)[0])
-    return n, dim
+    metas = {p: pq.ParquetFile(p) for p in files}
+    n = sum(m.metadata.num_rows for m in metas.values())
+    if not with_dim:
+        return n, None
+    for p in files:
+        if metas[p].metadata.num_rows:
+            first = metas[p].read_row_group(0, columns=["embedding"])
+            return n, len(first.column(0)[0])
+    raise ValueError(f"embeddings table at {path} has no rows to probe dim from")
 
 
 def _collect_embeddings(spark, sf_dir, predicate=None, max_rows=1_000_000):
@@ -681,7 +693,7 @@ def _collect_embeddings(spark, sf_dir, predicate=None, max_rows=1_000_000):
         # The r3 guard used limit(max_rows+1).toPandas(), but Spark executes
         # LIMIT as CollectLimit with incremental scale-up jobs at narrow
         # initial parallelism — a 3.7× regression on this query's bench time.
-        n, _ = _embeddings_meta(sf_dir)
+        n, _ = _embeddings_meta(sf_dir, with_dim=False)
         if n > max_rows:
             raise ValueError(
                 f"refusing to collect {n} (> {max_rows}) embeddings to the "
@@ -1353,9 +1365,12 @@ def q_discordance_lp_identity(spark, sf_dir):
     curve = np.asarray([r["mv"] for r in area], dtype=np.float32)
     Y = np.fft.fft(curve)  # exact zeros in, exact zeros out
     area_lp = np.abs(np.fft.ifft(Y)).astype(np.float32)
-    st = series_table(both, ["n_events"])
+    # the twins exist only to cancel the area curve (the groupBy above);
+    # phase 2 treats each series independently, so the kernel runs on the
+    # originals alone — identical output at half the FFT work
+    st = series_table(dense0, ["n_events"])
     out = discordance_batched(st, "n_events", area_lp, n=n_lp)
-    return out.filter(~F.col("conv_id").endswith("~")).select(
+    return out.select(
         F.col("conv_id").alias("user_id"),
         F.round(F.col("discordance").cast("double"), 6).alias("discordance"),
     )
@@ -1479,7 +1494,8 @@ def _sql_number_peaks_w1():
     from hdstats_oracle.peaks import ricker
 
     taps = ricker(10, 1.0)  # same doubles the kernel computes for width 1
-    offs = ", ".join(f"({m}, {taps[4 - m]!r})" for m in range(-5, 5))
+    # float() first: numpy >= 2 reprs np.float64 as "np.float64(...)"
+    offs = ", ".join(f"({m}, {float(taps[4 - m])!r})" for m in range(-5, 5))
     return f"""
 WITH b AS ({_event_buckets_sql('hour')}),
 bounds AS (
@@ -1528,7 +1544,8 @@ conv AS (
   GROUP BY m.user_id
 )
 SELECT CAST(L.user_id AS VARCHAR) AS user_id,
-       CAST(coalesce(pk.np, 0) AS INT) AS n_peaks
+       -- int8 wrap mirrors the kernel's reference-parity tinyint output
+       CAST((coalesce(pk.np, 0) + 128) % 256 - 128 AS INT) AS n_peaks
 FROM L LEFT JOIN pk USING (user_id)
 """
 

@@ -130,30 +130,52 @@ class IceliteTable:
         """Fill ``snap.partitions`` with the full manifest: walk parents to
         the nearest checkpoint (or cache hit), fold deltas forward.  Cost is
         ≤ CHECKPOINT_EVERY JSON reads cold, one delta application when the
-        parent's resolution is cached (the linear-chain hot path)."""
+        parent's resolution is cached (the linear-chain hot path).
+
+        Reads are lock-free, so a concurrent ``expire_snapshots`` can unlink
+        an ancestor mid-walk (expire rewrites the oldest SURVIVOR as a
+        checkpoint before unlinking, so the surviving chain is always
+        resolvable — but a walk that loaded the boundary snapshot before
+        that rewrite can chase a just-deleted parent).  A vanished ancestor
+        therefore retries the walk: the re-read boundary file is now a
+        checkpoint and the walk terminates there — the same
+        retry-on-expired-metadata contract Iceberg readers follow.  Only if
+        the TARGET snapshot itself was expired does the error propagate."""
         if snap.partitions is not None:
             self._mcache = (snap.snapshot_id, snap.partitions)
             return snap
-        chain: list[Snapshot] = []
-        s = snap
-        base: dict | None = None
-        while True:
-            if self._mcache is not None and self._mcache[0] == s.snapshot_id:
-                base = self._mcache[1]
-                break
-            if s.partitions is not None:
-                base = s.partitions
-                break
-            chain.append(s)
-            if s.parent_id is None:  # root is always a checkpoint; defensive
-                base = {}
-                break
-            s = self._load_raw(s.parent_id)
-        for d in reversed(chain):
-            base = _apply_delta(base, d.delta)
-        snap.partitions = base
-        self._mcache = (snap.snapshot_id, base)
-        return snap
+        orig = snap  # callers (snapshots()) rely on in-place mutation
+        for attempt in range(5):
+            chain: list[Snapshot] = []
+            s = snap
+            base: dict | None = None
+            try:
+                while True:
+                    if self._mcache is not None and self._mcache[0] == s.snapshot_id:
+                        base = self._mcache[1]
+                        break
+                    if s.partitions is not None:
+                        base = s.partitions
+                        break
+                    chain.append(s)
+                    if s.parent_id is None:  # root is always a checkpoint; defensive
+                        base = {}
+                        break
+                    s = self._load_raw(s.parent_id)
+            except FileNotFoundError:
+                if attempt == 4:
+                    raise
+                # re-read the whole chain from the target: the snapshot a
+                # concurrent expire re-checkpointed now carries its full
+                # manifest, so the next walk stops before the gap
+                snap = self._load_raw(snap.snapshot_id)
+                time.sleep(0.01 * attempt)
+                continue
+            for d in reversed(chain):
+                base = _apply_delta(base, d.delta)
+            orig.partitions = base
+            self._mcache = (orig.snapshot_id, base)
+            return orig
 
     def snapshot(self, sid: str | None = None) -> Snapshot | None:
         sid = sid or self.current_snapshot_id()
@@ -170,12 +192,8 @@ class IceliteTable:
         out = []
         for name in sorted(os.listdir(self.meta_dir)):
             if name.startswith("snapshot-"):
-                with open(os.path.join(self.meta_dir, name)) as f:
-                    d = json.load(f)
-                d.setdefault("delta", None)
-                d.setdefault("kind", "checkpoint" if d.get("partitions") is not None else "delta")
-                d.setdefault("seq", 1)
-                out.append(Snapshot(**d))
+                sid = name[len("snapshot-"):-len(".json")]
+                out.append(self._load_raw(sid))
         out.sort(key=lambda s: (s.seq, s.committed_at))
         # resolving in chain order makes each resolution hit the parent's
         # cache entry → one delta application per snapshot, and shallow

@@ -271,9 +271,15 @@ def number_peaks_agg(
                 len(find_peaks_cwt(np.asarray(v[: int(ln)], dtype=np.float64), widths))
                 for v, ln in zip(pdf[value_col], pdf["n"])
             ]
-            # int8 to match the reference's output dtype (ts.pyx:223)
+            # int8 to match the reference's output dtype (ts.pyx:223) — the
+            # reference's C assignment wraps >127 counts, so mirror that
+            # with an explicit astype (np.asarray(dtype=int8) raises on
+            # overflow under numpy >= 2)
             yield pd.DataFrame(
-                {key_col: pdf[key_col], "n_peaks": np.asarray(counts, dtype=np.int8)}
+                {
+                    key_col: pdf[key_col],
+                    "n_peaks": np.asarray(counts, dtype=np.int64).astype(np.int8),
+                }
             )
 
     return series_df.mapInPandas(gen, f"{key_col} string, n_peaks tinyint")

@@ -393,7 +393,13 @@ def streaming_neardup_minhash(
         bucket are one vectorized compare, pairs with
         est = round(agree/k, 6) ≥ threshold emit from their MINIMAL
         agreeing band only (exactly-once, same rule and replay/eviction
-        guards as the simhash op, including the bounded evicted-id set)."""
+        guards as the simhash op, including the bounded evicted-id set).
+
+    NB state-schema compatibility: like any applyInPandasWithState
+    operator, a state-schema change (e.g. the evicted-id field added to
+    the near-dup family in r4) is NOT resumable from an older checkpoint —
+    restart with a fresh checkpoint and let the batch reroll path
+    reconcile the gap."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -549,8 +555,17 @@ def streaming_neardup_embedding(
     )
 
     out_schema = f"id_a long, id_b long, cos_sim double, {ts_col} timestamp"
-    state_schema = "ids array<long>, embs array<float>, evicted array<long>, last_ms long"
+    # embs stored as DOUBLE: the bucket keys were computed from the source's
+    # full-precision values, and a float32 state round-trip could flip a
+    # razor-thin hyperplane sign for double-typed sources — breaking the
+    # recomputed minimal-agreeing-table rule — and perturb cos_sim at the
+    # 6th decimal vs the batch operator
+    state_schema = "ids array<long>, embs array<double>, evicted array<long>, last_ms long"
     shifts = np.arange(k, dtype=np.uint64)
+    # hyperplanes hoisted out of fn: applyInPandasWithState calls fn once
+    # per (table, sig) group per micro-batch — regenerating the Gaussian
+    # tensor per group would cost tables×dim×k RNG draws thousands of times
+    planes = _planes(dim, k, tables, seed)
 
     def fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
@@ -571,9 +586,9 @@ def streaming_neardup_embedding(
         else:
             ids, embs, evicted, last_ms = [], [], [], 0
         new_ids = pdf[id_col].to_numpy(dtype=np.int64)
-        new_embs = [np.asarray(e, dtype=np.float32) for e in pdf[emb_col]]
+        new_embs = [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
         new_ts = pdf[ts_col].to_numpy("datetime64[us]")
-        P = _planes(dim, k, tables, seed)  # deterministic; no broadcast needed
+        P = planes  # deterministic closure constant; no broadcast needed
         seen = set(ids)
         seen_evicted = set(evicted)
         out_a, out_b, out_s, out_t = [], [], [], []
@@ -591,7 +606,7 @@ def streaming_neardup_embedding(
         for i in range(len(new_ids)):
             if int(new_ids[i]) in seen or int(new_ids[i]) in seen_evicted:
                 continue  # at-least-once replay: idempotent skip
-            x = new_embs[i].astype(np.float64)
+            x = new_embs[i]
             if ids:
                 M = np.asarray(embs, dtype=np.float64).reshape(len(ids), dim)
                 # elementwise-multiply + pairwise sum, NOT a BLAS dot: the
