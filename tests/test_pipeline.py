@@ -372,3 +372,47 @@ def test_icelite_incremental_manifests_flat_metadata(tmp_path):
     t3 = IceliteTable(t.root)
     assert t3.snapshot().partitions == expect
     assert len(t3.snapshots()) == 5
+
+
+def test_icelite_reader_survives_expired_ancestors(tmp_path):
+    """Lock-free readers + expire: after expire_snapshots re-checkpoints the
+    oldest survivor and unlinks its ancestors, a COLD reader of any
+    surviving snapshot resolves fine; a chain whose ancestors vanished
+    without the survivor rewrite (torn metadata) fails loudly after the
+    retry loop rather than hanging or silently resolving wrong."""
+    import os
+
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "exp"))
+    for i in range(10):
+        t._commit_delta(
+            "append", "append", {f"d{i % 3}": {"files": [f"f{i}.parquet"], "rows": 1}}, None
+        )
+    snaps = t.snapshots()
+    full = t.snapshot().partitions
+
+    # the expire path: checkpoint the boundary survivor, drop ancestors
+    boundary = snaps[5]
+    boundary.kind = "checkpoint"
+    boundary.parent_id = None
+    with open(t._snapshot_path(boundary.snapshot_id), "w") as f:
+        import json
+
+        json.dump(boundary.to_json(), f, default=str)
+    for s in snaps[:5]:
+        os.unlink(t._snapshot_path(s.snapshot_id))
+    cold = IceliteTable(t.root)
+    assert cold.snapshot().partitions == full  # resolves through the checkpoint
+
+    # torn metadata: boundary NOT checkpointed, ancestor gone → loud failure
+    t2 = IceliteTable(str(tmp_path / "torn"))
+    for i in range(4):
+        t2._commit_delta(
+            "append", "append", {"d": {"files": [f"g{i}.parquet"], "rows": 1}}, None
+        )
+    mid = t2.snapshots()[1]
+    os.unlink(t2._snapshot_path(mid.snapshot_id))
+    cold2 = IceliteTable(t2.root)
+    with pytest.raises(FileNotFoundError):
+        cold2.snapshot()
