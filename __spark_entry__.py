@@ -6,10 +6,14 @@ entry()      — flagship pipeline on sf0.001: events → transcript-style 1m
                continuous aggregate, SURVEY.md §3.1).
 queries()    — one entry per implemented operator (SURVEY.md §2), each
                (spark, sf_dir) → DataFrame.
-oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query; the
-               grouped-UDF kernels (geomedian, gm-based MADs, fourier,
-               discordance, DTW, minhash/simhash) are non-SQL-expressible and
-               get rows-only checks here + pytest parity vs hdstats_oracle.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
+               Every kernel family also carries a degenerate-exact
+               hash-green mirror (geomedian_1d, dtw_diag/diag_path,
+               discordance_lp_identity, fourier_const_bands,
+               number_peaks_w1, symmetry_vs_median, *_poly, *_exact) that
+               drives the REAL kernel through a provably-SQL-expressible
+               setting; the scale-default variants stay rows-only here +
+               pytest parity vs hdstats_oracle.
 """
 
 from __future__ import annotations
