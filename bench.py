@@ -30,6 +30,7 @@ HEADLINE = [
     "wiener_smooth",
     "mad_vs_centroid",
     "sessionize",
+    "events_rollup_totals",
     "pricing_summary",
     "top_customers",
     "doc_stats",

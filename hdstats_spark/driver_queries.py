@@ -447,6 +447,29 @@ FROM agg QUALIFY rnk <= 10
 """
 
 
+def q_events_rollup_totals(spark, sf_dir):
+    """Grouping-sets surface (SURVEY §2.2): event counts and value sums at
+    (user, type), (user), and grand-total granularities in ONE pass —
+    ``df.rollup`` plans a single Expand + hash aggregate, the relational
+    idiom for multi-granularity tier summaries (subtotal rows carry NULL
+    group keys + GROUPING() markers, matching ANSI ROLLUP)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(F.sum("value")).alias("sum_value"),
+        F.grouping("user_id").cast("int").alias("g_user"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+    )
+
+
+SQL_EVENTS_ROLLUP_TOTALS = """
+SELECT user_id, event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+       CAST(GROUPING(user_id) AS INT) AS g_user,
+       CAST(GROUPING(event_type) AS INT) AS g_type
+FROM events GROUP BY ROLLUP (user_id, event_type)
+"""
+
+
 def q_events_pivot(spark, sf_dir):
     """Conditional-aggregation pivot: per-user counts by event type."""
     ev = _t(spark, sf_dir, "events")
@@ -2022,6 +2045,7 @@ def queries():
         "sessionize": q_sessionize,
         "topk_users": q_topk_users,
         "events_pivot": q_events_pivot,
+        "events_rollup_totals": q_events_rollup_totals,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "doc_stats": q_doc_stats,
@@ -2083,6 +2107,7 @@ def oracles():
         "sessionize": SQL_SESSIONIZE,
         "topk_users": SQL_TOPK_USERS,
         "events_pivot": _sql_events_pivot(),
+        "events_rollup_totals": SQL_EVENTS_ROLLUP_TOTALS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "doc_stats": _SQL_DOC_STATS,

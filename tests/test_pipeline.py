@@ -416,3 +416,58 @@ def test_icelite_reader_survives_expired_ancestors(tmp_path):
     cold2 = IceliteTable(t2.root)
     with pytest.raises(FileNotFoundError):
         cold2.snapshot()
+
+
+def test_icelite_delta_resolution_property(tmp_path):
+    """Property: any interleaving of append / overwrite / compact deltas
+    resolves to the same manifest as a brute-force dict fold, at every
+    intermediate snapshot (time travel), through checkpoints, cold caches,
+    and the snapshots() bulk path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["append", "replace"]),
+            st.lists(st.sampled_from("abcd"), min_size=1, max_size=2, unique=True),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=25, deadline=None)
+    @given(ops_strategy)
+    def run(ops):
+        counter[0] += 1
+        t = IceliteTable(str(tmp_path / f"prop{counter[0]}"))
+        t.CHECKPOINT_EVERY = 5  # exercise the cadence inside small chains
+        expect: dict = {}
+        history = []
+        for i, (mode, parts_keys) in enumerate(ops):
+            parts = {
+                k: {"files": [f"f{i}-{k}.parquet"], "rows": i + 1} for k in parts_keys
+            }
+            snap = t._commit_delta("op", mode, parts, None)
+            for k, m in parts.items():
+                if mode == "append" and k in expect:
+                    expect[k] = {
+                        "files": expect[k]["files"] + m["files"],
+                        "rows": expect[k]["rows"] + m["rows"],
+                    }
+                else:
+                    expect[k] = dict(m)
+            history.append((snap.snapshot_id, {k: dict(v) for k, v in expect.items()}))
+        assert t.snapshot().partitions == expect
+        # time travel to every intermediate snapshot, cold cache
+        cold = IceliteTable(t.root)
+        cold.CHECKPOINT_EVERY = 5
+        for sid, want in history:
+            assert cold.snapshot(sid).partitions == want, sid
+        # bulk path agrees
+        by_id = {s.snapshot_id: s.partitions for s in cold.snapshots()}
+        for sid, want in history:
+            assert by_id[sid] == want
+
+    run()
