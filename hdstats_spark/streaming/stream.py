@@ -674,6 +674,7 @@ def run_stream_to_memory(
 def run_stream_to_icelite(
     spark: SparkSession, src_dir: str, checkpoint: str, table_root: str,
     watermark: str = "10 minutes", compact_every: int | None = None,
+    cascade: bool = False,
 ):
     """Production sink shape: each micro-batch of finalized 1m buckets is an
     icelite APPEND commit carrying the micro-batch id as lineage — the
@@ -687,21 +688,55 @@ def run_stream_to_icelite(
     are rewritten via compact_partition (conflict-skipping, so a concurrent
     batch writer is never clobbered) — without this, one file lands per
     micro-batch per day-partition and scan parallelism degrades into a
-    tiny-file storm over ~10⁵ micro-batches."""
+    tiny-file storm over ~10⁵ micro-batches.
+
+    ``cascade=True`` keeps the COARSER tiers continuously current too: after
+    each 1m append, the day partitions the micro-batch touched are re-rolled
+    from the 1m table into sibling ``<table_root>_1h`` / ``<table_root>_1d``
+    tables via idempotent overwrite-by-partition.  This is deliberately NOT
+    a chain of streaming aggregations (Spark restricts chained stateful
+    aggs in append mode, and a second watermark would double the coarse
+    tiers' latency); it is the batch reroll primitive applied per
+    micro-batch, so a late 1m bucket automatically repairs its day's 1h/1d
+    partitions on the next touch, and replays are absorbed by the
+    overwrite.  Cost per micro-batch is bounded by the touched days' 1m
+    partitions (manifest-pruned read), not the table size."""
     from ..icelite import IceliteTable
+    from ..operators.rollup import rollup_cascade
 
     tbl = IceliteTable(table_root)
+    casc = (
+        {"1h": IceliteTable(table_root + "_1h"), "1d": IceliteTable(table_root + "_1d")}
+        if cascade
+        else None
+    )
     out = streaming_rollup_1m(stream_transcripts_from_dir(spark, src_dir), watermark)
     commits = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
+        day = F.date_format("bucket", "yyyy-MM-dd")
         tbl.append(
-            batch_df.withColumn("day", F.date_format("bucket", "yyyy-MM-dd")),
+            batch_df.withColumn("day", day),
             "day",
             lineage={"micro_batch": int(batch_id), "source": src_dir},
         )
+        if casc is not None:
+            days = [
+                r["day"] for r in batch_df.select(day.alias("day")).distinct().collect()
+            ]
+            m1 = tbl.read(spark, partitions=days).drop("day")
+            h1 = rollup_cascade(m1, "1h")
+            casc["1h"].overwrite_partitions(
+                h1.withColumn("day", day), "day", cluster="bypart",
+                lineage={"micro_batch": int(batch_id), "from": "1m", "days": days},
+            )
+            d1 = rollup_cascade(h1, "1d")
+            casc["1d"].overwrite_partitions(
+                d1.withColumn("day", day), "day", cluster="bypart",
+                lineage={"micro_batch": int(batch_id), "from": "1h", "days": days},
+            )
         commits["n"] += 1
         if compact_every and commits["n"] % compact_every == 0:
             snap = tbl.snapshot()

@@ -559,3 +559,52 @@ def test_streaming_neardup_embedding_equals_batch(spark, tmp_path):
     }
     assert streamed == expect, (streamed, expect)
     assert (3, 200) in streamed and streamed[(3, 200)] == 1.0  # cross-batch exact dup
+
+
+def test_streaming_cascade_to_icelite(spark, transcripts, tmp_path):
+    """cascade=True keeps the 1h/1d tables continuously current: after the
+    stream drains, both coarse tables equal the batch cascade over exactly
+    the 1m rows the stream committed (idempotent overwrite-by-day re-rolls
+    absorb multi-touch days and replays)."""
+    from hdstats_spark.icelite import IceliteTable
+    from hdstats_spark.operators.rollup import rollup_cascade
+    from hdstats_spark.streaming.stream import run_stream_to_icelite
+
+    src = str(tmp_path / "arrivals_casc")
+    ckpt = str(tmp_path / "ckpt_casc")
+    root = str(tmp_path / "tier_1m_casc")
+    transcripts.orderBy("ts").coalesce(3).write.mode("overwrite").parquet(src)
+    parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    base = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    q = run_stream_to_icelite(
+        spark, src, ckpt, root, watermark="0 seconds", cascade=True
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    m1 = IceliteTable(root).read(spark).drop("day")
+    for tier, tier_root in (("1h", root + "_1h"), ("1d", root + "_1d")):
+        got = (
+            IceliteTable(tier_root).read(spark).drop("day")
+            .orderBy("conv_id", "bucket").toPandas()
+        )
+        finer = m1 if tier == "1h" else rollup_cascade(m1, "1h")
+        expect = (
+            rollup_cascade(finer, tier).orderBy("conv_id", "bucket").toPandas()
+        )
+        expect = expect[got.columns]
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # every cascade commit is an idempotent overwrite with day lineage
+    for tier_root in (root + "_1h", root + "_1d"):
+        snaps = IceliteTable(tier_root).snapshots()
+        assert snaps and all(s.operation == "overwrite" for s in snaps)
+        assert all("days" in s.lineage for s in snaps)
