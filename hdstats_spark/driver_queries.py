@@ -454,16 +454,23 @@ def q_events_rollup_totals(spark, sf_dir):
     idiom for multi-granularity tier summaries (subtotal rows carry NULL
     group keys + GROUPING() markers, matching ANSI ROLLUP)."""
     ev = _t(spark, sf_dir, "events")
+    # DECIMAL sums: the grand-total grouping set folds the WHOLE table into
+    # one accumulation, where float summation order (Spark partials vs
+    # DuckDB) could straddle a 6-dp rounding boundary; decimal addition is
+    # exact and associative, so the subtotal rows hash identically at any
+    # partitioning (each value quantizes to 6 dp identically in both
+    # engines — doubles have no exact decimal midpoints)
     return ev.rollup("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        _r6(F.sum("value")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         F.grouping("user_id").cast("int").alias("g_user"),
         F.grouping("event_type").cast("int").alias("g_type"),
     )
 
 
 SQL_EVENTS_ROLLUP_TOTALS = """
-SELECT user_id, event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+SELECT user_id, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(GROUPING(user_id) AS INT) AS g_user,
        CAST(GROUPING(event_type) AS INT) AS g_type
 FROM events GROUP BY ROLLUP (user_id, event_type)

@@ -698,9 +698,16 @@ def run_stream_to_icelite(
     aggs in append mode, and a second watermark would double the coarse
     tiers' latency); it is the batch reroll primitive applied per
     micro-batch, so a late 1m bucket automatically repairs its day's 1h/1d
-    partitions on the next touch, and replays are absorbed by the
-    overwrite.  Cost per micro-batch is bounded by the touched days' 1m
-    partitions (manifest-pruned read), not the table size."""
+    partitions on the next touch.  Replay safety: a foreachBatch replay
+    (crash between the 1m commit and the streaming checkpoint) is detected
+    by the micro_batch lineage of the recent 1m commits — the duplicate 1m
+    APPEND is skipped, and the cascade re-roll simply re-runs (it reads the
+    committed 1m table, so it is idempotent by construction).  Cost per
+    micro-batch is bounded by the touched days' partitions (manifest-pruned
+    reads; the 1d roll reads the just-committed 1h partitions rather than
+    re-aggregating 1m).  With ``compact_every`` set, the cascade tables'
+    superseded snapshots/files are expired on the same cadence (they are
+    derived state — deep time travel lives in the 1m table)."""
     from ..icelite import IceliteTable
     from ..operators.rollup import rollup_cascade
 
@@ -713,28 +720,54 @@ def run_stream_to_icelite(
     out = streaming_rollup_1m(stream_transcripts_from_dir(spark, src_dir), watermark)
     commits = {"n": 0}
 
+    def already_committed(batch_id: int) -> bool:
+        """foreachBatch replays only the last unacknowledged batch; walking
+        the few most recent commits (appends may interleave with compact /
+        overwrite maintenance commits) for a micro_batch >= batch_id is a
+        complete replay check without scanning the whole log."""
+        s = tbl.snapshot()
+        for _ in range(8):
+            if s is None:
+                return False
+            mb = s.lineage.get("micro_batch")
+            if mb is not None:
+                return int(mb) >= batch_id
+            s = tbl.snapshot(s.parent_id) if s.parent_id else None
+        return False
+
     def sink(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         day = F.date_format("bucket", "yyyy-MM-dd")
-        tbl.append(
-            batch_df.withColumn("day", day),
-            "day",
-            lineage={"micro_batch": int(batch_id), "source": src_dir},
-        )
-        if casc is not None:
+        if not already_committed(int(batch_id)):
+            snap = tbl.append(
+                batch_df.withColumn("day", day),
+                "day",
+                lineage={"micro_batch": int(batch_id), "source": src_dir},
+            )
+            # the appended partitions ARE the touched days — no second
+            # evaluation of the micro-batch just to rediscover them
+            days = sorted(snap.delta["parts"].keys())
+        elif casc is not None:
+            # replayed batch: the 1m rows are already committed; re-derive
+            # the touched days from the micro-batch and let the idempotent
+            # re-roll below repair the coarse tiers
             days = [
                 r["day"] for r in batch_df.select(day.alias("day")).distinct().collect()
             ]
+        else:
+            return
+        if casc is not None:
             m1 = tbl.read(spark, partitions=days).drop("day")
-            h1 = rollup_cascade(m1, "1h")
             casc["1h"].overwrite_partitions(
-                h1.withColumn("day", day), "day", cluster="bypart",
+                rollup_cascade(m1, "1h").withColumn("day", day), "day", cluster="bypart",
                 lineage={"micro_batch": int(batch_id), "from": "1m", "days": days},
             )
-            d1 = rollup_cascade(h1, "1d")
+            # roll 1d from the just-committed 1h partitions: re-running the
+            # lazy 1h plan would scan + aggregate the 1m files a second time
+            h1 = casc["1h"].read(spark, partitions=days).drop("day")
             casc["1d"].overwrite_partitions(
-                d1.withColumn("day", day), "day", cluster="bypart",
+                rollup_cascade(h1, "1d").withColumn("day", day), "day", cluster="bypart",
                 lineage={"micro_batch": int(batch_id), "from": "1h", "days": days},
             )
         commits["n"] += 1
@@ -746,6 +779,12 @@ def run_stream_to_icelite(
                         spark, "day", value,
                         lineage={"compacted": value, "after_batch": int(batch_id)},
                     )
+            if casc is not None:
+                # cascade tables are derived state: two overwrite commits per
+                # micro-batch would otherwise grow metadata + superseded
+                # files without bound over ~10^5 batches
+                for c in casc.values():
+                    c.expire_snapshots(keep_last=4)
 
     return (
         out.writeStream.foreachBatch(sink)

@@ -389,21 +389,15 @@ def test_icelite_reader_survives_expired_ancestors(tmp_path):
         t._commit_delta(
             "append", "append", {f"d{i % 3}": {"files": [f"f{i}.parquet"], "rows": 1}}, None
         )
-    snaps = t.snapshots()
     full = t.snapshot().partitions
 
-    # the expire path: checkpoint the boundary survivor, drop ancestors
-    boundary = snaps[5]
-    boundary.kind = "checkpoint"
-    boundary.parent_id = None
-    with open(t._snapshot_path(boundary.snapshot_id), "w") as f:
-        import json
-
-        json.dump(boundary.to_json(), f, default=str)
-    for s in snaps[:5]:
-        os.unlink(t._snapshot_path(s.snapshot_id))
+    # the REAL expire path: re-checkpoints the oldest survivor, unlinks the
+    # expired ancestors
+    res = t.expire_snapshots(keep_last=5)
+    assert res["snapshots_removed"] == 5
     cold = IceliteTable(t.root)
     assert cold.snapshot().partitions == full  # resolves through the checkpoint
+    assert all(cold.snapshot(s.snapshot_id) for s in cold.snapshots())
 
     # torn metadata: boundary NOT checkpointed, ancestor gone → loud failure
     t2 = IceliteTable(str(tmp_path / "torn"))
