@@ -35,6 +35,7 @@ HEADLINE = [
     "top_customers",
     "doc_stats",
     "exact_dedup",
+    "corpus_filter",
     "lang_id",
     "knn_cosine",
     "embedding_dups",

@@ -597,6 +597,62 @@ FROM documents
 """
 
 
+def q_corpus_filter(spark, sf_dir, min_tokens=20, max_tokens=10_000, min_quality=0.3):
+    """The composed keep/drop decision a training-data pipeline actually
+    ships: token-count bounds + quality floor + exact-dedup canonicalization
+    (keep only the min-doc_id copy of each content hash) in ONE relational
+    pass — the length/quality exprs are pure JVM columns and the
+    canonical-copy test is a window min over md5(text), so no joins, no
+    shuffles beyond the one hash partition."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    n_tok = F.size(toks)
+    quality = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.try_divide(n_stop.cast("double"), F.lit(len(STOPWORDS))) * 0.5
+    )
+    w = Window.partitionBy(F.md5("text"))
+    is_canon = (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
+    drop_len = ((n_tok < min_tokens) | (n_tok > max_tokens)).cast("int")
+    drop_q = (_r6(quality) < min_quality).cast("int")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        _r6(quality).alias("quality"),
+        is_canon.alias("is_canonical"),
+        drop_len.alias("drop_len"),
+        drop_q.alias("drop_lowq"),
+        (
+            (is_canon == 1) & (drop_len == 0) & (drop_q == 0)
+        ).cast("int").alias("keep"),
+    )
+
+
+def _sql_corpus_filter(min_tokens=20, max_tokens=10_000, min_quality=0.3):
+    toks = "string_split_regex(trim(text), '\\s+')"
+    q = (
+        f"least(len({toks}) / 100.0, 1.0) * 0.5 + "
+        f"len(list_intersect(list_distinct({toks}), {list(STOPWORDS)})) / {float(len(STOPWORDS))} * 0.5"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS INT) AS n_tokens,
+         round({q}, 6) AS quality,
+         CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_canonical
+  FROM documents
+)
+SELECT doc_id, n_tokens, quality, is_canonical,
+       CAST(n_tokens < {min_tokens} OR n_tokens > {max_tokens} AS INT) AS drop_len,
+       CAST(quality < {min_quality} AS INT) AS drop_lowq,
+       CAST(is_canonical = 1 AND NOT (n_tokens < {min_tokens} OR n_tokens > {max_tokens})
+            AND quality >= {min_quality} AS INT) AS keep
+FROM s
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup by content hash: canonical = min doc_id per md5(text)."""
     d = _t(spark, sf_dir, "documents")
@@ -2057,6 +2113,7 @@ def queries():
         "top_customers": q_top_customers,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
+        "corpus_filter": q_corpus_filter,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "knn_cosine": q_knn_cosine,
@@ -2119,6 +2176,7 @@ def oracles():
         "top_customers": SQL_TOP_CUSTOMERS,
         "doc_stats": _SQL_DOC_STATS,
         "exact_dedup": SQL_EXACT_DEDUP,
+        "corpus_filter": _sql_corpus_filter(),
         "fingerprint": SQL_FINGERPRINT,
         "lang_id": _sql_lang_id(),
         "knn_cosine": _sql_knn_cosine(),
