@@ -709,7 +709,6 @@ def run_stream_to_icelite(
     superseded snapshots/files are expired on the same cadence (they are
     derived state — deep time travel lives in the 1m table)."""
     from ..icelite import IceliteTable
-    from ..operators.rollup import rollup_cascade
 
     tbl = IceliteTable(table_root)
     casc = (
@@ -718,6 +717,20 @@ def run_stream_to_icelite(
         else None
     )
     out = streaming_rollup_1m(stream_transcripts_from_dir(spark, src_dir), watermark)
+    sink = icelite_sink(spark, tbl, src_dir, casc, compact_every)
+    return (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def icelite_sink(spark, tbl, src_dir, casc, compact_every):
+    """Build the foreachBatch sink (factory, so replay semantics are
+    directly testable outside a running stream)."""
+    from ..operators.rollup import rollup_cascade
+
     commits = {"n": 0}
 
     def already_committed(batch_id: int) -> bool:
@@ -786,9 +799,4 @@ def run_stream_to_icelite(
                 for c in casc.values():
                     c.expire_snapshots(keep_last=4)
 
-    return (
-        out.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    return sink

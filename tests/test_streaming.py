@@ -608,3 +608,40 @@ def test_streaming_cascade_to_icelite(spark, transcripts, tmp_path):
         snaps = IceliteTable(tier_root).snapshots()
         assert snaps and all(s.operation == "overwrite" for s in snaps)
         assert all("days" in s.lineage for s in snaps)
+
+
+def test_icelite_sink_replay_is_idempotent(spark, transcripts, tmp_path):
+    """foreachBatch replay semantics, driven directly through the sink
+    factory: re-invoking the sink with an already-committed batch_id must
+    NOT duplicate 1m rows, and the cascade re-roll must leave the coarse
+    tables equal to the batch cascade (the crash-between-commit-and-
+    checkpoint window)."""
+    from hdstats_spark.icelite import IceliteTable
+    from hdstats_spark.operators.rollup import rollup_cascade
+    from hdstats_spark.streaming.stream import icelite_sink
+
+    root = str(tmp_path / "replay_1m")
+    tbl = IceliteTable(root)
+    casc = {"1h": IceliteTable(root + "_1h"), "1d": IceliteTable(root + "_1d")}
+    sink = icelite_sink(spark, tbl, "src", casc, compact_every=None)
+
+    tier = rollup_raw(channelize(transcripts), "1m")
+    batches = [
+        tier.filter(F.col("conv_id").isin([f"c{i:04d}" for i in range(10)])),
+        tier.filter(~F.col("conv_id").isin([f"c{i:04d}" for i in range(10)])),
+    ]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    rows_before = tbl.rows()
+    snaps_before = len(tbl.snapshots())
+    sink(batches[1], 1)  # the replay: same batch, same id
+    assert tbl.rows() == rows_before, "replay duplicated 1m rows"
+    assert len(tbl.snapshots()) == snaps_before, "replay added a 1m commit"
+
+    m1 = tbl.read(spark).drop("day")
+    assert m1.count() == tier.count()
+    for tier_name, t in (("1h", casc["1h"]), ("1d", casc["1d"])):
+        got = t.read(spark).drop("day").orderBy("conv_id", "bucket").toPandas()
+        finer = m1 if tier_name == "1h" else rollup_cascade(m1, "1h")
+        expect = rollup_cascade(finer, tier_name).orderBy("conv_id", "bucket").toPandas()
+        pd.testing.assert_frame_equal(got, expect[got.columns], check_dtype=False)
