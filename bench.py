@@ -31,6 +31,7 @@ HEADLINE = [
     "mad_vs_centroid",
     "sessionize",
     "events_rollup_totals",
+    "asof_join_events",
     "pricing_summary",
     "top_customers",
     "doc_stats",

@@ -597,6 +597,70 @@ FROM documents
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """AS-OF join — the point-in-time feature join Spark has no native
+    operator for (and the classic training-data leakage guard): each event
+    is matched to the latest COMPLETED hourly aggregate of its user (bucket
+    whose end ≤ event time).  Spark-first formulation: union the bucket
+    availability points with the event stream, one hash partition on
+    user_id, and a running ``last(..., ignorenulls)`` window — a single
+    shuffle + sort, no range-join row explosion, the plan you'd run at
+    10^12 events.  The DuckDB oracle is the engine-native ``ASOF JOIN``,
+    so the semantics are checked against a first-class implementation."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_in_hour"))
+        .select(
+            "user_id",
+            (F.col("bucket") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+            F.lit(0).alias("is_event"),
+            F.struct("bucket", "n_in_hour").alias("bstate"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    e = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("struct<bucket:timestamp_ntz,n_in_hour:bigint>").alias("bstate"),
+        "event_id",
+    )
+    # bucket availability sorts BEFORE events at equal t ⇒ ts >= avail is
+    # inclusive, matching ASOF's >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = b.unionByName(e).withColumn(
+        "m", F.last("bstate", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("is_event") == 1) & F.col("m").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("m.bucket").alias("prev_hour"),
+            F.col("m.n_in_hour").alias("prev_hour_events"),
+        )
+    )
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n_in_hour
+  FROM events GROUP BY 1, 2
+), ba AS (
+  SELECT user_id, bucket, bucket + INTERVAL 1 HOUR AS avail_ts, n_in_hour FROM b
+)
+SELECT e.event_id, e.user_id, ba.bucket AS prev_hour,
+       CAST(ba.n_in_hour AS BIGINT) AS prev_hour_events
+FROM events e ASOF JOIN ba
+  ON e.user_id = ba.user_id AND e.ts >= ba.avail_ts
+"""
+
+
 def q_corpus_filter(spark, sf_dir, min_tokens=20, max_tokens=10_000, min_quality=0.3):
     """The composed keep/drop decision a training-data pipeline actually
     ships: token-count bounds + quality floor + exact-dedup canonicalization
@@ -2114,6 +2178,7 @@ def queries():
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
+        "asof_join_events": q_asof_join_events,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "knn_cosine": q_knn_cosine,
@@ -2177,6 +2242,7 @@ def oracles():
         "doc_stats": _SQL_DOC_STATS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_filter": _sql_corpus_filter(),
+        "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "fingerprint": SQL_FINGERPRINT,
         "lang_id": _sql_lang_id(),
         "knn_cosine": _sql_knn_cosine(),
