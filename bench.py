@@ -73,6 +73,7 @@ HEADLINE = [
     # 30-word vocabulary makes every bigram hot at sf0.1, and the cap bounds
     # the self-join fan-out (minhash_lsh remains the uncapped scale path)
     "ngram_jaccard",
+    "dup_clusters",
     "minhash_lsh",
     "simhash_dups",
     "knn_lsh",

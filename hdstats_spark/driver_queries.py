@@ -597,6 +597,102 @@ FROM documents
 """
 
 
+def q_dup_clusters(spark, sf_dir, n=2, threshold=0.04, max_doc_freq=200):
+    """Near-duplicate CLUSTERING — pair lists aren't what a curation
+    pipeline consumes; it needs each document labeled with its duplicate
+    component so one canonical survives per cluster.  Connected components
+    over the exact n-gram Jaccard pair graph via iterative min-label
+    propagation: labels start at doc_id, each round every node takes the
+    min label in its closed neighborhood, looping until a fixpoint.  Each
+    round is one join + groupBy (shuffle on doc_id) and rounds ≈ component
+    diameter — near-dup components are shallow, and the loop is bounded;
+    at 10^12 docs this is exactly the large-star/small-star recipe, with
+    the edge list as the only big table.  Oracle: DuckDB recursive-CTE
+    reachability with min-root aggregation — an independent textbook
+    formulation of the same components."""
+    from .operators.dedup import shingle_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(
+        d, threshold=threshold, n=n, max_doc_freq=max_doc_freq
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .cache()
+    )
+    labels = d.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    for _ in range(20):
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        # the change flag rides inside the update (no second join against
+        # the old labels), and localCheckpoint truncates the lineage so the
+        # per-round plan stays flat instead of deepening every iteration
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("n_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+                (F.coalesce("n_min", "cluster_id") < F.col("cluster_id")).alias("_ch"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("_ch")).limit(1).count()
+        labels = new.drop("_ch")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def _sql_dup_clusters(n=2, threshold=0.04, max_doc_freq=200):
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+  FROM t
+), hot AS (
+  SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) > {max_doc_freq}
+), s AS (
+  SELECT s0.* FROM s0 ANTI JOIN hot USING (shingle)
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id
+), c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM s a JOIN s b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT id_a, id_b FROM c
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 6) >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+), reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM documents
+  UNION
+  SELECT e.dst AS node, r.root
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id,
+       CAST(node = min(root) AS INT) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 def q_asof_join_events(spark, sf_dir):
     """AS-OF join — the point-in-time feature join Spark has no native
     operator for (and the classic training-data leakage guard): each event
@@ -2179,6 +2275,7 @@ def queries():
         "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
         "asof_join_events": q_asof_join_events,
+        "dup_clusters": q_dup_clusters,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "knn_cosine": q_knn_cosine,
@@ -2243,6 +2340,7 @@ def oracles():
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_filter": _sql_corpus_filter(),
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+        "dup_clusters": _sql_dup_clusters(),
         "fingerprint": SQL_FINGERPRINT,
         "lang_id": _sql_lang_id(),
         "knn_cosine": _sql_knn_cosine(),
