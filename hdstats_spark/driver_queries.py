@@ -563,23 +563,40 @@ FROM agg QUALIFY rnk <= 10
 
 # ---------------------------------------------------------------- documents: text analysis & dedup
 
+def _quality_cols(text_col="text"):
+    """Shared token-count / stopword / quality expressions — doc_stats and
+    corpus_filter must score documents identically or their 'quality'
+    columns silently disagree."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    stop_arr = F.array(*[F.lit(x) for x in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    n_tok = F.size(toks)
+    quality = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + F.try_divide(n_stop.cast("double"), F.lit(len(STOPWORDS))) * 0.5
+    )
+    return toks, n_tok, n_stop, quality
+
+
+def _sql_quality_expr():
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return (
+        f"least(len({toks}) / 100.0, 1.0) * 0.5 + "
+        f"len(list_intersect(list_distinct({toks}), {list(STOPWORDS)})) / {float(len(STOPWORDS))} * 0.5"
+    )
+
+
 def q_doc_stats(spark, sf_dir):
     """Token counting + quality scoring (training-data text analysis)."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
-    n_tok = F.size(toks)
+    _, n_tok, n_stop, quality = _quality_cols()
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.length("text").alias("n_chars_eng"),
         _r6(F.try_divide(F.length("text").cast("double"), n_tok)).alias("chars_per_token"),
         n_stop.alias("n_stop_distinct"),
-        _r6(
-            F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
-            + F.try_divide(n_stop.cast("double"), F.lit(len(STOPWORDS))) * 0.5
-        ).alias("quality"),
+        _r6(quality).alias("quality"),
     )
 
 
@@ -590,9 +607,7 @@ SELECT doc_id,
        round(CAST(length(text) AS DOUBLE) / nullif(len(string_split_regex(trim(text), '\\s+')), 0), 6) AS chars_per_token,
        CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
                                {list(STOPWORDS)})) AS INT) AS n_stop_distinct,
-       round(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.5
-             + len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
-                                  {list(STOPWORDS)})) / {float(len(STOPWORDS))} * 0.5, 6) AS quality
+       round({_sql_quality_expr()}, 6) AS quality
 FROM documents
 """
 
@@ -622,7 +637,8 @@ def q_dup_clusters(spark, sf_dir, n=2, threshold=0.04, max_doc_freq=200):
         .cache()
     )
     labels = d.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
-    for _ in range(20):
+    prev_ckpt = None
+    for _ in range(50):
         neigh = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy(F.col("src").alias("doc_id"))
@@ -643,9 +659,17 @@ def q_dup_clusters(spark, sf_dir, n=2, threshold=0.04, max_doc_freq=200):
             .localCheckpoint()
         )
         changed = new.filter(F.col("_ch")).limit(1).count()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()  # only the newest checkpoint is live
+        prev_ckpt = new
         labels = new.drop("_ch")
         if changed == 0:
             break
+    else:
+        # a silent cap would return wrong clusters for deeper components
+        # and show up only as an opaque oracle mismatch
+        raise RuntimeError("dup_clusters did not converge within 50 rounds")
+    edges.unpersist()
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -655,29 +679,7 @@ def q_dup_clusters(spark, sf_dir, n=2, threshold=0.04, max_doc_freq=200):
 
 def _sql_dup_clusters(n=2, threshold=0.04, max_doc_freq=200):
     return f"""
-WITH RECURSIVE t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
-), s0 AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),
-                               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
-  FROM t
-), hot AS (
-  SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) > {max_doc_freq}
-), s AS (
-  SELECT s0.* FROM s0 ANTI JOIN hot USING (shingle)
-), sz AS (
-  SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id
-), c AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM s a JOIN s b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), p AS (
-  SELECT id_a, id_b FROM c
-  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-  WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 6) >= {threshold}
-), edges AS (
+WITH RECURSIVE {_sql_jaccard_pairs_cte(n, threshold, max_doc_freq)}, edges AS (
   SELECT id_a AS src, id_b AS dst FROM p
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM p
@@ -765,14 +767,7 @@ def q_corpus_filter(spark, sf_dir, min_tokens=20, max_tokens=10_000, min_quality
     canonical-copy test is a window min over md5(text), so no joins, no
     shuffles beyond the one hash partition."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
-    n_tok = F.size(toks)
-    quality = (
-        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
-        + F.try_divide(n_stop.cast("double"), F.lit(len(STOPWORDS))) * 0.5
-    )
+    _, n_tok, _, quality = _quality_cols()
     w = Window.partitionBy(F.md5("text"))
     is_canon = (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
     drop_len = ((n_tok < min_tokens) | (n_tok > max_tokens)).cast("int")
@@ -792,10 +787,7 @@ def q_corpus_filter(spark, sf_dir, min_tokens=20, max_tokens=10_000, min_quality
 
 def _sql_corpus_filter(min_tokens=20, max_tokens=10_000, min_quality=0.3):
     toks = "string_split_regex(trim(text), '\\s+')"
-    q = (
-        f"least(len({toks}) / 100.0, 1.0) * 0.5 + "
-        f"len(list_intersect(list_distinct({toks}), {list(STOPWORDS)})) / {float(len(STOPWORDS))} * 0.5"
-    )
+    q = _sql_quality_expr()
     return f"""
 WITH s AS (
   SELECT doc_id,
@@ -1822,9 +1814,12 @@ def q_ngram_jaccard(spark, sf_dir, n=2, threshold=0.04, max_doc_freq=200):
     return shingle_jaccard_pairs(d, threshold=threshold, n=n, max_doc_freq=max_doc_freq)
 
 
-def _sql_ngram_jaccard(n=2, threshold=0.04, max_doc_freq=200):
-    return f"""
-WITH t AS (
+def _sql_jaccard_pairs_cte(n, threshold, max_doc_freq):
+    """Shared CTE chain for the exact n-gram Jaccard pair graph — used by
+    both the ngram_jaccard oracle and the dup_clusters oracle so the pair
+    semantics (tokenizer, hot-shingle cap, round-6 threshold) can never
+    de-sync between them."""
+    return f"""t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
 ), s0 AS (
   SELECT DISTINCT doc_id,
@@ -1842,11 +1837,17 @@ WITH t AS (
   FROM s a JOIN s b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       round(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
-FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 6) >= {threshold}
+), p AS (
+  SELECT id_a, id_b, round(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+  FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 6) >= {threshold}
+)"""
+
+
+def _sql_ngram_jaccard(n=2, threshold=0.04, max_doc_freq=200):
+    return f"""
+WITH {_sql_jaccard_pairs_cte(n, threshold, max_doc_freq)}
+SELECT id_a, id_b, jaccard FROM p
 """
 
 

@@ -626,10 +626,12 @@ def test_icelite_sink_replay_is_idempotent(spark, transcripts, tmp_path):
     sink = icelite_sink(spark, tbl, "src", casc, compact_every=None)
 
     tier = rollup_raw(channelize(transcripts), "1m")
+    first_ids = [f"c{i:08d}" for i in range(10)]  # gen_transcripts pads to 8
     batches = [
-        tier.filter(F.col("conv_id").isin([f"c{i:04d}" for i in range(10)])),
-        tier.filter(~F.col("conv_id").isin([f"c{i:04d}" for i in range(10)])),
+        tier.filter(F.col("conv_id").isin(first_ids)),
+        tier.filter(~F.col("conv_id").isin(first_ids)),
     ]
+    assert batches[0].count() > 0 and batches[1].count() > 0  # both real
     sink(batches[0], 0)
     sink(batches[1], 1)
     rows_before = tbl.rows()
