@@ -30,6 +30,7 @@ HEADLINE = [
     "wiener_smooth",
     "mad_vs_centroid",
     "sessionize",
+    "session_concurrency",
     "events_rollup_totals",
     "asof_join_events",
     "pricing_summary",

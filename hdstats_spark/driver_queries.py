@@ -421,6 +421,75 @@ SELECT user_id, CAST(sum(_new) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
 """
 
 
+def q_session_concurrency(spark, sf_dir):
+    """RANGE (interval) join — the second join shape Spark lacks natively:
+    for every gap-based session interval, count ALL events (any user) whose
+    timestamp falls inside it — no shared key between the sides, so a naive
+    theta join is a cross product.  Spark-first scale pattern: explode each
+    interval to the hour buckets it covers (bounded fan-out = session
+    length in hours), equi-join events on their own hour bucket, then apply
+    the exact range predicate — each event's hour matches exactly one
+    exploded hour per session, so no dedup pass is needed and the join
+    stays an equi-join at 10^12 events.  Oracle: DuckDB's plain theta join
+    (BETWEEN), an independent formulation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sx = ev.select("user_id", "ts", F.sum(flag).over(run).alias("session_idx"))
+    sessions = sx.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    sh = sessions.select(
+        "user_id",
+        "session_idx",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc("hour", "session_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    eh = ev.select(F.date_trunc("hour", "ts").alias("hour"), F.col("ts").alias("e_ts"))
+    return (
+        sh.join(eh, "hour")
+        .filter((F.col("e_ts") >= F.col("session_start")) & (F.col("e_ts") <= F.col("session_end")))
+        .groupBy("user_id", F.col("session_idx").cast("int").alias("session_idx"),
+                 "session_start", "session_end")
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+    )
+
+
+SQL_SESSION_CONCURRENCY = """
+WITH f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+), sx AS (
+  SELECT user_id, ts,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+), s AS (
+  SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end
+  FROM sx GROUP BY 1, 2
+)
+SELECT s.user_id, CAST(s.session_idx AS INT) AS session_idx,
+       s.session_start, s.session_end,
+       CAST(count(*) AS BIGINT) AS n_concurrent
+FROM s JOIN events e ON e.ts BETWEEN s.session_start AND s.session_end
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_topk_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
@@ -2267,6 +2336,7 @@ def queries():
         "wiener_smooth": q_wiener_smooth,
         "mad_vs_centroid": q_mad_vs_centroid,
         "sessionize": q_sessionize,
+        "session_concurrency": q_session_concurrency,
         "topk_users": q_topk_users,
         "events_pivot": q_events_pivot,
         "events_rollup_totals": q_events_rollup_totals,
@@ -2332,6 +2402,7 @@ def oracles():
         "wiener_smooth": SQL_WIENER_SMOOTH,
         "mad_vs_centroid": _sql_mad_vs_centroid(),
         "sessionize": SQL_SESSIONIZE,
+        "session_concurrency": SQL_SESSION_CONCURRENCY,
         "topk_users": SQL_TOPK_USERS,
         "events_pivot": _sql_events_pivot(),
         "events_rollup_totals": SQL_EVENTS_ROLLUP_TOTALS,
