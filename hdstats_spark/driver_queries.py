@@ -685,64 +685,34 @@ def q_dup_clusters(spark, sf_dir, n=2, threshold=0.04, max_doc_freq=200):
     """Near-duplicate CLUSTERING — pair lists aren't what a curation
     pipeline consumes; it needs each document labeled with its duplicate
     component so one canonical survives per cluster.  Connected components
-    over the exact n-gram Jaccard pair graph via iterative min-label
-    propagation: labels start at doc_id, each round every node takes the
-    min label in its closed neighborhood, looping until a fixpoint.  Each
-    round is one join + groupBy (shuffle on doc_id) and rounds ≈ component
-    diameter — near-dup components are shallow, and the loop is bounded;
-    at 10^12 docs this is exactly the large-star/small-star recipe, with
-    the edge list as the only big table.  Oracle: DuckDB recursive-CTE
-    reachability with min-root aggregation — an independent textbook
-    formulation of the same components."""
-    from .operators.dedup import shingle_jaccard_pairs
+    over the exact n-gram Jaccard pair graph via alternating
+    large-star/small-star (operators.dedup.connected_components): rounds
+    are O(log component size), NOT O(diameter) like min-label propagation,
+    so a 10^12-doc corpus with one long duplication chain converges in a
+    handful of shuffles instead of hitting a round guard; the convergence
+    probe rides the same aggregation job that materializes each round's
+    edge set (no per-round driver probe job).  Singleton documents never
+    enter the loop — only the pair-graph edges do — and get their own id
+    via the final left join.  Oracle: DuckDB recursive-CTE reachability
+    with min-root aggregation — an independent textbook formulation of the
+    same components."""
+    from .operators.dedup import connected_components, shingle_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
     pairs = shingle_jaccard_pairs(
         d, threshold=threshold, n=n, max_doc_freq=max_doc_freq
-    ).select("id_a", "id_b")
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .cache()
-    )
-    labels = d.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
-    prev_ckpt = None
-    for _ in range(50):
-        neigh = (
-            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("n_min"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels, _rounds = connected_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("root", "doc_id").alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("root", "doc_id"))
+            .cast("int")
+            .alias("is_canonical"),
         )
-        # the change flag rides inside the update (no second join against
-        # the old labels), and localCheckpoint truncates the lineage so the
-        # per-round plan stays flat instead of deepening every iteration
-        new = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("n_min", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-                (F.coalesce("n_min", "cluster_id") < F.col("cluster_id")).alias("_ch"),
-            )
-            .localCheckpoint()
-        )
-        changed = new.filter(F.col("_ch")).limit(1).count()
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()  # only the newest checkpoint is live
-        prev_ckpt = new
-        labels = new.drop("_ch")
-        if changed == 0:
-            break
-    else:
-        # a silent cap would return wrong clusters for deeper components
-        # and show up only as an opaque oracle mismatch
-        raise RuntimeError("dup_clusters did not converge within 50 rounds")
-    edges.unpersist()
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
 
 

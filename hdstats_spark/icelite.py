@@ -30,13 +30,18 @@ north rule.  Commits are atomic via write-temp + rename of `current`.
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
 from urllib.parse import unquote
+
+try:  # POSIX fast path; object-store deployments have no flock(2)
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -88,16 +93,45 @@ def _apply_delta(base: dict, delta: dict) -> dict:
     return out
 
 
+class _Heartbeat(threading.Thread):
+    """Touches the lock token's mtime while the holder works, so a live
+    holder is never mistaken for a dead one (lease renewal)."""
+
+    def __init__(self, path: str, interval: float):
+        super().__init__(daemon=True)
+        self._path, self._interval = path, interval
+        self._stopped = threading.Event()
+
+    def run(self):
+        while not self._stopped.wait(self._interval):
+            try:
+                os.utime(self._path)
+            except OSError:
+                return  # token stolen/vanished — stop renewing
+
+    def stop(self):
+        self._stopped.set()
+
+
 class IceliteTable:
     LOCK_TIMEOUT_S = 20.0  # commits hold the lock for milliseconds
+    # token lock lease: a token whose mtime is older than STALE is a dead
+    # holder (heartbeat period ≪ staleness, the standard lease assumption)
+    LOCK_STALE_S = 10.0
+    LOCK_HEARTBEAT_S = 2.0
     # every Nth commit in the chain persists the full manifest; in between,
     # commits persist only their delta (Iceberg: manifest list + manifests)
     CHECKPOINT_EVERY = 64
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, lock: str | None = None):
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
+        # commit-lock mode: "flock" (POSIX fast path), "token" (portable
+        # O_EXCL lease — the only protocol an object store can emulate), or
+        # "auto" (flock when the platform has it).  Per-catalog config: all
+        # writers of one table must agree on the mode.
+        self.lock_mode = lock or os.environ.get("ICELITE_LOCK", "auto")
         # one-entry resolution cache (sid, resolved manifest): a writer or
         # streaming sink advancing the chain resolves each new snapshot by
         # applying ONE delta to its parent's cached resolution
@@ -162,7 +196,11 @@ class IceliteTable:
                         base = {}
                         break
                     s = self._load_raw(s.parent_id)
-            except FileNotFoundError:
+            except (FileNotFoundError, json.JSONDecodeError):
+                # FileNotFoundError: a concurrent expire unlinked an ancestor
+                # mid-walk.  JSONDecodeError: defensive — the survivor
+                # rewrite is an atomic replace on POSIX, but an object-store
+                # backend without atomic rename could still tear a read.
                 if attempt == 4:
                     raise
                 # re-read the whole chain from the target: the snapshot a
@@ -207,24 +245,50 @@ class IceliteTable:
     def _lock_path(self) -> str:
         return os.path.join(self.meta_dir, ".commit.lock")
 
-    def _acquire_lock(self) -> int:
-        """Commit mutual exclusion via flock(2) on a persistent lock file.
+    def _token_path(self) -> str:
+        return os.path.join(self.meta_dir, ".commit.token")
 
-        The lock is tied to the holder's open file description, so the
-        kernel releases it the instant the holder exits or crashes — there
-        is no stale-lock state, no reclamation heuristic, and none of the
-        stat/rename TOCTOU races a presence-based (O_EXCL) lock has to
-        navigate (a reclaimer could steal a *fresh* lock re-acquired in the
-        stat→rename window; flock has no such window).  Two opens of the
-        same file conflict even within one process, so threads are excluded
-        too.  The lock FILE is never unlinked: unlink-on-release would let
-        a later opener lock a fresh inode while an earlier waiter still
-        holds the old one — two "holders" at once.
+    def _acquire_lock(self):
+        """Commit mutual exclusion.  Two implementations behind one handle:
 
-        A real deployment replaces this with the catalog's atomic
+        * ``flock`` (POSIX fast path): flock(2) on a persistent lock file.
+          The lock is tied to the holder's open file description, so the
+          kernel releases it the instant the holder exits or crashes —
+          no stale-lock state, no reclamation heuristic, and none of the
+          stat/rename TOCTOU races a presence-based lock navigates.  The
+          lock FILE is never unlinked: unlink-on-release would let a later
+          opener lock a fresh inode while an earlier waiter still holds the
+          old one — two "holders" at once.
+
+        * ``token`` (portable default where flock doesn't exist — object
+          stores, NFS without lockd): an O_EXCL-created token file holding
+          the owner id, kept fresh by a heartbeat thread renewing its mtime
+          (a lease).  A token not renewed for LOCK_STALE_S marks a dead
+          holder; stealing is an atomic ``rename`` of the stale token to a
+          grave name — exactly one stealer wins the rename, and the winner
+          STILL has to win the ordinary O_EXCL create, so a fresh token
+          re-created in the stat→rename window is renamed away at worst,
+          never adopted.  This is the conditional-put/lease protocol an
+          object-store catalog (S3 If-None-Match, GCS x-goog-if-generation)
+          implements natively; the filesystem emulation assumes
+          heartbeat ≪ staleness, the standard lease assumption.
+
+        A real deployment replaces either with the catalog's atomic
         compare-and-swap (Iceberg REST / Hive lock / DynamoDB conditional
-        put); a local flock is the single-host emulation of that service.
+        put); these are the single-host emulations of that service.
         """
+        mode = self.lock_mode
+        if mode == "auto":
+            mode = "flock" if fcntl is not None else "token"
+        if mode == "flock":
+            if fcntl is None:
+                raise RuntimeError("lock='flock' requested but fcntl is unavailable")
+            return ("flock", self._acquire_flock())
+        if mode == "token":
+            return self._acquire_token()
+        raise ValueError(f"unknown lock mode {mode!r}")
+
+    def _acquire_flock(self) -> int:
         os.makedirs(self.meta_dir, exist_ok=True)
         fd = os.open(self._lock_path(), os.O_CREAT | os.O_RDWR)
         deadline = time.monotonic() + self.LOCK_TIMEOUT_S
@@ -238,9 +302,65 @@ class IceliteTable:
                     raise TimeoutError(f"commit lock busy: {self._lock_path()}")
                 time.sleep(0.005)
 
-    def _release_lock(self, fd: int) -> None:
-        fcntl.flock(fd, fcntl.LOCK_UN)
-        os.close(fd)
+    def _acquire_token(self):
+        os.makedirs(self.meta_dir, exist_ok=True)
+        token = self._token_path()
+        owner = uuid.uuid4().hex
+        payload = json.dumps({"owner": owner, "pid": os.getpid()})
+        deadline = time.monotonic() + self.LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(token, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(payload)
+                hb = _Heartbeat(token, self.LOCK_HEARTBEAT_S)
+                hb.start()
+                return ("token", token, owner, hb)
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(token).st_mtime
+                except FileNotFoundError:
+                    continue  # released between attempts — retry the create
+                if age > self.LOCK_STALE_S:
+                    # dead holder: exactly one stealer wins the rename (the
+                    # losers' renames raise and they rejoin the O_EXCL race)
+                    grave = token + f".stale.{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(token, grave)
+                    except FileNotFoundError:
+                        continue
+                    try:
+                        os.unlink(grave)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit token busy: {token}")
+                time.sleep(0.005)
+
+    def _release_lock(self, handle) -> None:
+        if handle[0] == "flock":
+            fd = handle[1]
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+            return
+        _, token, owner, hb = handle
+        hb.stop()
+        # unlink only our own token.  The read→unlink window is unsafe only
+        # if this holder ALREADY went stale (≥ LOCK_STALE_S of missed
+        # heartbeats while alive) and was stolen+recreated in between — the
+        # same assumption every lease breaks under; an object-store catalog
+        # closes it with a conditional delete (S3 If-Match).
+        try:
+            with open(token) as f:
+                mine = json.load(f).get("owner") == owner
+        except (OSError, json.JSONDecodeError):
+            return  # stolen or torn — nothing of ours left to release
+        if mine:
+            try:
+                os.unlink(token)
+            except FileNotFoundError:
+                pass
 
     # --------------------------------------------------------------- commit
 
@@ -572,8 +692,15 @@ class IceliteTable:
                 oldest = kept[0]
                 oldest.kind = "checkpoint"
                 oldest.parent_id = None  # ancestors are gone after this GC
-                with open(self._snapshot_path(oldest.snapshot_id), "w") as f:
+                # write-temp + atomic replace: reads are LOCK-FREE, so an
+                # in-place open(path, "w") would expose a truncated JSON to
+                # a concurrent reader mid-walk (same pattern as the
+                # `current` flip)
+                path = self._snapshot_path(oldest.snapshot_id)
+                tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
                     json.dump(oldest.to_json(), f, indent=2, default=str)
+                os.replace(tmp, path)
             live_files: set[str] = set()
             for s in kept:
                 for m in s.partitions.values():

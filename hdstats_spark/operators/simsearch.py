@@ -35,14 +35,24 @@ def _planes(dim: int, k: int, tables: int, seed: int) -> np.ndarray:
 def lsh_signatures(
     emb_df: DataFrame, dim: int, k: int = 16, tables: int = 8, seed: int = 11,
     id_col: str = "vec_id", emb_col: str = "embedding",
-    keep_cols: list[str] | None = None,
+    keep_cols: list[str] | None = None, with_full_sig: bool = False,
 ) -> DataFrame:
     """(id, table, sig) — one k-bit signature per hash table per vector.
 
     ``keep_cols`` are carried through unchanged (e.g. the event-time and
     embedding columns for the streaming near-dup operator — mapInPandas is
     stateless, so the same kernel serves batch and stream); the declared
-    schema iterates ``keep`` so schema order always matches the frame."""
+    schema iterates ``keep`` so schema order always matches the frame.
+
+    ``with_full_sig=True`` adds ``all_sigs array<long>`` — the vector's
+    signature in EVERY table, sliced from the same batched GEMM outputs the
+    bucket keys come from.  Consumers that need a vector's cross-table
+    agreement set (the streaming near-dup's minimal-agreeing-table rule)
+    read it from this column instead of recomputing the projections:
+    BLAS may round a (1,dim)@(dim,k) recompute differently from the batched
+    (n,dim)@(dim,k) product, so a projection within fp noise of zero could
+    flip sign between key and recompute — carrying the computed signatures
+    makes key and agreement set bit-identical by construction."""
     keep = list(keep_cols or [])
     planes = _planes(dim, k, tables, seed)
     b = emb_df.sparkSession.sparkContext.broadcast(planes)
@@ -55,25 +65,31 @@ def lsh_signatures(
                 continue
             X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            frames = []
+            S = np.empty((P.shape[0], len(ids)), dtype=np.int64)
             for t in range(P.shape[0]):
                 bits = (X @ P[t] > 0).astype(np.uint64)  # (n, k)
-                sig = (bits << shifts[None, :]).sum(axis=1).astype(np.int64)
+                S[t] = (bits << shifts[None, :]).sum(axis=1).astype(np.int64)
+            frames = []
+            for t in range(P.shape[0]):
                 f = pd.DataFrame(
                     {
                         id_col: ids,
                         "table": np.full(len(ids), t, dtype=np.int32),
-                        "sig": sig,
+                        "sig": S[t],
                     }
                 )
                 for c in keep:
                     f[c] = pdf[c].to_numpy()
+                if with_full_sig:
+                    f["all_sigs"] = list(S.T)  # per-vector (tables,) slice
                 frames.append(f)
             yield frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
 
     keep_schema = "".join(
         f", {c} {emb_df.schema[c].dataType.simpleString()}" for c in keep
     )
+    if with_full_sig:
+        keep_schema += ", all_sigs array<long>"
     cols = [id_col, emb_col] + [c for c in keep if c != emb_col]
     return emb_df.select(*cols).mapInPandas(
         gen, f"{id_col} long, table int, sig long{keep_schema}"

@@ -535,37 +535,40 @@ def streaming_neardup_embedding(
     ``applyInPandasWithState`` bucket index verifies arrivals with an exact
     cosine GEMM against the bucket's stored vectors.
 
-    Exactly-once via the minimal-agreeing-TABLE rule: both vectors are in
-    hand, the hyperplanes are deterministic from (dim, k, tables, seed), so
-    every discovering bucket recomputes the pair's full signature-agreement
-    set and only the first agreeing table's bucket emits — the simhash /
-    minhash ops' minimal-band rule with hyperplane tables as bands.  Same
-    bounded evicted-id replay guard and TTL'd state; candidate generation is
-    identical to the batch operator's bucket self-join, so streamed pairs
-    equal batch pairs for on-time data (tested)."""
+    Exactly-once via the minimal-agreeing-TABLE rule: each vector carries
+    its full cross-table signature array from the signature kernel
+    (``lsh_signatures(with_full_sig=True)`` — sliced from the SAME batched
+    GEMM outputs the bucket keys come from), so every discovering bucket
+    reads the pair's agreement set from state and only the first agreeing
+    table's bucket emits — the simhash/minhash ops' minimal-band rule with
+    hyperplane tables as bands.  The signatures are stored rather than
+    recomputed because BLAS may round a per-vector (1,dim)@(dim,k) product
+    differently from the batched (n,dim)@(dim,k) one — a projection within
+    fp noise of zero could flip sign between key and recompute, emitting a
+    qualifying pair twice or never; carried signatures are bit-identical to
+    the keys by construction.  Same bounded evicted-id replay guard and
+    TTL'd state; candidate generation is identical to the batch operator's
+    bucket self-join, so streamed pairs equal batch pairs for on-time data
+    (tested)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..operators.simsearch import _planes, lsh_signatures
+    from ..operators.simsearch import lsh_signatures
 
     keyed = lsh_signatures(
         emb_stream.select(id_col, ts_col, emb_col), dim, k, tables, seed,
-        id_col, emb_col, keep_cols=[ts_col, emb_col],
+        id_col, emb_col, keep_cols=[ts_col, emb_col], with_full_sig=True,
     )
 
     out_schema = f"id_a long, id_b long, cos_sim double, {ts_col} timestamp"
-    # embs stored as DOUBLE: the bucket keys were computed from the source's
-    # full-precision values, and a float32 state round-trip could flip a
-    # razor-thin hyperplane sign for double-typed sources — breaking the
-    # recomputed minimal-agreeing-table rule — and perturb cos_sim at the
-    # 6th decimal vs the batch operator
-    state_schema = "ids array<long>, embs array<double>, evicted array<long>, last_ms long"
-    shifts = np.arange(k, dtype=np.uint64)
-    # hyperplanes hoisted out of fn: applyInPandasWithState calls fn once
-    # per (table, sig) group per micro-batch — regenerating the Gaussian
-    # tensor per group would cost tables×dim×k RNG draws thousands of times
-    planes = _planes(dim, k, tables, seed)
+    # embs stored as DOUBLE: a float32 state round-trip would perturb
+    # cos_sim at the 6th decimal vs the batch operator for double-typed
+    # sources; asigs is the flattened (n, tables) signature matrix
+    state_schema = (
+        "ids array<long>, embs array<double>, asigs array<long>, "
+        "evicted array<long>, last_ms long"
+    )
 
     def fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
@@ -579,29 +582,20 @@ def streaming_neardup_embedding(
             [ts_col, id_col]
         )
         if state.exists:
-            ids, embs, evicted, last_ms = state.get
+            ids, embs, asigs, evicted, last_ms = state.get
             ids = list(ids)
             embs = list(embs)
+            asigs = list(asigs)
             evicted = list(evicted)
         else:
-            ids, embs, evicted, last_ms = [], [], [], 0
+            ids, embs, asigs, evicted, last_ms = [], [], [], [], 0
         new_ids = pdf[id_col].to_numpy(dtype=np.int64)
         new_embs = [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
+        new_asigs = [np.asarray(s, dtype=np.int64) for s in pdf["all_sigs"]]
         new_ts = pdf[ts_col].to_numpy("datetime64[us]")
-        P = planes  # deterministic closure constant; no broadcast needed
         seen = set(ids)
         seen_evicted = set(evicted)
         out_a, out_b, out_s, out_t = [], [], [], []
-
-        def sigs_of(v64):
-            # one (1, dim) @ (dim, k) GEMM per table — the same matmul the
-            # signature kernel (lsh_signatures) runs, so the recomputed
-            # signatures match the bucket keys
-            sigs = np.empty(tables, dtype=np.int64)
-            for t in range(tables):
-                bits = (v64[None, :] @ P[t] > 0).astype(np.uint64)  # (1, k)
-                sigs[t] = int((bits[0] << shifts).sum())
-            return sigs
 
         for i in range(len(new_ids)):
             if int(new_ids[i]) in seen or int(new_ids[i]) in seen_evicted:
@@ -620,10 +614,12 @@ def streaming_neardup_embedding(
                 )
                 hit = np.nonzero(sim >= threshold)[0]
                 if len(hit):
-                    sx = sigs_of(x)
+                    A = np.asarray(asigs, dtype=np.int64).reshape(len(ids), tables)
+                    sx = new_asigs[i]
                     for j in hit:
-                        sy = sigs_of(M[j])
-                        agreeing = np.nonzero(sx == sy)[0]
+                        # agreement set from the STORED signatures — the same
+                        # GEMM outputs that produced every bucket key
+                        agreeing = np.nonzero(sx == A[j])[0]
                         if len(agreeing) == 0 or agreeing[0] != table:
                             continue  # emitted by the minimal agreeing table
                         out_a.append(ids[j])
@@ -632,14 +628,16 @@ def streaming_neardup_embedding(
                         out_t.append(new_ts[i])
             ids.append(int(new_ids[i]))
             embs.extend(float(v) for v in new_embs[i])
+            asigs.extend(int(s) for s in new_asigs[i])
             seen.add(int(new_ids[i]))
         if len(ids) > max_state_docs:  # hot bucket: keep the most recent
             cut = len(ids) - max_state_docs
             evicted = (evicted + ids[:cut])[-4 * max_state_docs:]
             ids = ids[cut:]
             embs = embs[cut * dim:]
+            asigs = asigs[cut * tables:]
         last_ms = max(int(last_ms), int(new_ts.max().astype("int64") // 1000))
-        state.update((ids, embs, evicted, last_ms))
+        state.update((ids, embs, asigs, evicted, last_ms))
         state.setTimeoutTimestamp(last_ms + state_ttl_seconds * 1000)
         if out_a:
             yield pd.DataFrame(
@@ -734,18 +732,29 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every):
     commits = {"n": 0}
 
     def already_committed(batch_id: int) -> bool:
-        """foreachBatch replays only the last unacknowledged batch; walking
-        the few most recent commits (appends may interleave with compact /
-        overwrite maintenance commits) for a micro_batch >= batch_id is a
-        complete replay check without scanning the whole log."""
-        s = tbl.snapshot()
-        for _ in range(8):
-            if s is None:
+        """foreachBatch replays only the last unacknowledged batch.  Walk the
+        commit chain newest-first until a commit carries replay evidence:
+        an append's ``micro_batch`` decides definitively (appends land in
+        batch order), and a compact commit's ``after_batch`` ≥ batch_id also
+        proves the append committed (compaction only runs after the append
+        it trails).  No fixed walk depth: a maintenance round can land one
+        compact commit per touched day-partition (a wide backfill lands
+        many), and a fixed-8 walk buried the append under them — every 1m
+        append carries micro_batch, so the walk is bounded by the
+        maintenance commits since the last append in practice; lineage-only
+        loads (``_load_raw``) keep each step O(1), no manifest resolution."""
+        sid = tbl.current_snapshot_id()
+        for _ in range(10_000):  # defensive bound: a foreign chain with no
+            if sid is None:  # lineage at all terminates via parent walk
                 return False
+            s = tbl._load_raw(sid)
             mb = s.lineage.get("micro_batch")
             if mb is not None:
                 return int(mb) >= batch_id
-            s = tbl.snapshot(s.parent_id) if s.parent_id else None
+            ab = s.lineage.get("after_batch")
+            if ab is not None and int(ab) >= batch_id:
+                return True
+            sid = s.parent_id
         return False
 
     def sink(batch_df: DataFrame, batch_id: int):

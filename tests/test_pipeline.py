@@ -465,3 +465,66 @@ def test_icelite_delta_resolution_property(tmp_path):
             assert by_id[sid] == want
 
     run()
+
+
+def test_icelite_token_lock_mutual_exclusion(tmp_path, monkeypatch):
+    """Portable token lock (flock disabled): a live holder's heartbeat keeps
+    the lease fresh so a waiter times out instead of stealing — even when
+    the staleness window is tiny — and release frees the token for an
+    immediate re-acquire."""
+    import os
+
+    t = IceliteTable(str(tmp_path / "tok"), lock="token")
+    monkeypatch.setattr(IceliteTable, "LOCK_STALE_S", 0.5)
+    monkeypatch.setattr(IceliteTable, "LOCK_HEARTBEAT_S", 0.1)
+    h = t._acquire_lock()
+    assert os.path.exists(t._token_path())
+    monkeypatch.setattr(IceliteTable, "LOCK_TIMEOUT_S", 1.5)
+    # > LOCK_STALE_S of waiting: without the heartbeat the waiter would
+    # steal; with it, the lease stays fresh and the waiter must time out
+    with pytest.raises(TimeoutError):
+        IceliteTable(t.root, lock="token")._acquire_lock()
+    t._release_lock(h)
+    assert not os.path.exists(t._token_path())
+    h2 = t._acquire_lock()  # freed → immediate acquire
+    t._release_lock(h2)
+
+
+def test_icelite_token_lock_steals_dead_holder(tmp_path, monkeypatch):
+    """A token whose holder died (no heartbeat — mtime frozen) is stolen
+    after LOCK_STALE_S via the atomic-rename grave protocol, and the stale
+    file does not linger."""
+    import json
+    import os
+    import time
+
+    t = IceliteTable(str(tmp_path / "dead"), lock="token")
+    os.makedirs(t.meta_dir, exist_ok=True)
+    # dead holder: token exists, nobody renews it
+    with open(t._token_path(), "w") as f:
+        json.dump({"owner": "deadbeef", "pid": 0}, f)
+    old = time.time() - 3600
+    os.utime(t._token_path(), (old, old))
+    monkeypatch.setattr(IceliteTable, "LOCK_STALE_S", 0.2)
+    h = t._acquire_lock()  # steals without waiting for any timeout
+    assert h[0] == "token" and h[2] != "deadbeef"
+    t._release_lock(h)
+    assert not os.path.exists(t._token_path())
+    assert not [n for n in os.listdir(t.meta_dir) if ".stale." in n]
+
+
+def test_icelite_commits_with_flock_disabled(spark, tmp_path):
+    """The full commit protocol — append, CAS conflict, expire (which holds
+    the lock across GC) — works end-to-end in token mode, i.e. on a store
+    with no flock(2)."""
+    from hdstats_spark.icelite import CommitConflict, Snapshot
+
+    t = IceliteTable(str(tmp_path / "tokfull"), lock="token")
+    s1 = t.append(spark.createDataFrame([(1, "a")], ["id", "day"]), "day")
+    with pytest.raises(CommitConflict):
+        t._commit(Snapshot("deadbeef", None, "append", {}), expected_parent=None)
+    s2 = t.append(spark.createDataFrame([(2, "b")], ["id", "day"]), "day")
+    assert s2.parent_id == s1.snapshot_id and t.rows() == 2
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == 1
+    assert t.rows() == 2 and len(t.read(spark).collect()) == 2
