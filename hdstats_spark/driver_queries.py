@@ -421,7 +421,7 @@ SELECT user_id, CAST(sum(_new) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
 """
 
 
-def q_session_concurrency(spark, sf_dir):
+def q_session_concurrency(spark, sf_dir, max_session_hours: int = 24 * 7):
     """RANGE (interval) join — the second join shape Spark lacks natively:
     for every gap-based session interval, count ALL events (any user) whose
     timestamp falls inside it — no shared key between the sides, so a naive
@@ -430,8 +430,16 @@ def q_session_concurrency(spark, sf_dir):
     length in hours), equi-join events on their own hour bucket, then apply
     the exact range predicate — each event's hour matches exactly one
     exploded hour per session, so no dedup pass is needed and the join
-    stays an equi-join at 10^12 events.  Oracle: DuckDB's plain theta join
-    (BETWEEN), an independent formulation."""
+    stays an equi-join at 10^12 events.
+
+    The 30-minute gap rule does NOT cap a continuously-active session, so
+    one pathological weeks-long session would fan out to thousands of rows;
+    ``max_session_hours`` bounds the explode with a LOUD executor-side
+    raise (wired into the sequence bound itself so column pruning cannot
+    elide it) — silent truncation would return wrong counts, and a session
+    beyond the bound means the sessionization rule, not this query, needs
+    revisiting.  Oracle: DuckDB's plain theta join (BETWEEN), an
+    independent formulation."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -443,6 +451,22 @@ def q_session_concurrency(spark, sf_dir):
     sessions = sx.groupBy("user_id", "session_idx").agg(
         F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
     )
+    span_h = (
+        F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+    ) / 3600
+    end_guarded = F.when(
+        span_h <= F.lit(max_session_hours), F.date_trunc("hour", "session_end")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"session_concurrency: session longer than {max_session_hours}h "
+                    "(explode fan-out bound) for user_id="
+                ),
+                F.col("user_id").cast("string"),
+            )
+        )
+    )
     sh = sessions.select(
         "user_id",
         "session_idx",
@@ -451,7 +475,7 @@ def q_session_concurrency(spark, sf_dir):
         F.explode(
             F.sequence(
                 F.date_trunc("hour", "session_start"),
-                F.date_trunc("hour", "session_end"),
+                end_guarded,
                 F.expr("INTERVAL 1 HOUR"),
             )
         ).alias("hour"),
@@ -2292,6 +2316,16 @@ FROM comp GROUP BY user_id
 
 
 # ---------------------------------------------------------------- registry
+#
+# The driver's correctness gate checks at most 50 queries() entries per
+# round; a registry larger than that silently rotates green evidence out
+# (the r4 lesson).  queries() is therefore CURATED to ≤50: every entry gets
+# a fresh row every round.  Scale-default variants whose correctness is
+# fully anchored elsewhere (an exact/degenerate hash-green mirror of the
+# same plan + pytest parity/recall) live in bench_only_queries() — still
+# benchmarked every round for cross-round perf comparability, just not
+# double-counted in the ledger.  The subsumption argument per retired entry
+# is in COVERAGE.md.
 
 def queries():
     return {
@@ -2299,7 +2333,6 @@ def queries():
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "derived_measures": q_derived_measures,
-        "gapfill_locf": q_gapfill_locf,
         "gapfill_completion": q_gapfill_completion,
         "change_features": q_change_features,
         "complexity": q_complexity,
@@ -2322,7 +2355,6 @@ def queries():
         "knn_cosine": q_knn_cosine,
         "embedding_centroids": q_embedding_centroids,
         "embedding_dups": q_embedding_dups,
-        "embedding_dups_lsh": q_embedding_dups_lsh,
         "dist_to_centroid": q_dist_to_centroid,
         "geomedian_1d": q_geomedian_1d,
         # kernel aggregates (rows-only checks; pytest-verified vs oracle)
@@ -2330,7 +2362,6 @@ def queries():
         "symmetry": q_symmetry,
         "fourier_features": q_fourier_features,
         "discordance": q_discordance,
-        "dtw_area": q_dtw_area,
         "area_warp": q_area_warp,
         "area_l1_to_median": q_area_l1_to_median,
         # degenerate-case hash-green mirrors of the kernel paths
@@ -2339,23 +2370,35 @@ def queries():
         "symmetry_vs_median": q_symmetry_vs_median,
         "discordance_lp_identity": q_discordance_lp_identity,
         "fourier_const_bands": q_fourier_const_bands,
-        "number_peaks": q_number_peaks,
         "number_peaks_w1": q_number_peaks_w1,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_poly": q_minhash_lsh_poly,
-        "simhash_dups": q_simhash_dups,
         "simhash_poly": q_simhash_poly,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
         "knn_ivf_exact": q_knn_ivf_exact,
         "knn_lsh_exact": q_knn_lsh_exact,
         "embedding_dups_lsh_exact": q_embedding_dups_lsh_exact,
-        "dtw_path": q_dtw_path,
         "winnow_overlap": q_winnow_overlap,
         "multimodal_features": q_multimodal_features,
         "compression_roundtrip": q_compression_roundtrip,
+    }
+
+
+def bench_only_queries():
+    """Scale-default variants retired from the ≤50-entry correctness ledger
+    (each one's plan algebra is hash-green via an exact/degenerate mirror in
+    queries() and its kernel/recall is pytest-anchored — see COVERAGE.md),
+    still benched every round so per-query perf history stays comparable."""
+    return {
+        "gapfill_locf": q_gapfill_locf,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "dtw_area": q_dtw_area,
+        "dtw_path": q_dtw_path,
+        "number_peaks": q_number_peaks,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
     }
 
 

@@ -672,7 +672,7 @@ def run_stream_to_memory(
 def run_stream_to_icelite(
     spark: SparkSession, src_dir: str, checkpoint: str, table_root: str,
     watermark: str = "10 minutes", compact_every: int | None = None,
-    cascade: bool = False,
+    cascade: bool = False, composite: bool = False, composite_buckets: int = 16,
 ):
     """Production sink shape: each micro-batch of finalized 1m buckets is an
     icelite APPEND commit carrying the micro-batch id as lineage — the
@@ -705,7 +705,23 @@ def run_stream_to_icelite(
     reads; the 1d roll reads the just-committed 1h partitions rather than
     re-aggregating 1m).  With ``compact_every`` set, the cascade tables'
     superseded snapshots/files are expired on the same cadence (they are
-    derived state — deep time travel lives in the 1m table)."""
+    derived state — deep time travel lives in the 1m table).
+
+    ``composite=True`` keeps the FLAGSHIP aggregate — the per-conversation
+    geometric-median + MAD composite (geomedian_mads_flat, the same kernel
+    and tier config as the batch pipeline's with_composite) — continuously
+    current in a sibling ``<table_root>_gm`` table.  The geometric median is
+    not a decomposable aggregate (no partial state can be merged), so the
+    online form is a per-micro-batch RE-ROLL of the touched conversations
+    from their full committed 1m history: conversations are hash-bucketed
+    into ``composite_buckets`` partitions (pmod(xxhash64(conv_id), B)), the
+    micro-batch's touched buckets are recomputed whole and committed via
+    idempotent overwrite-by-partition — replays and late buckets self-repair
+    exactly like the relational cascade.  Cost per micro-batch is the
+    touched buckets' full 1m history (inherent to the kernel's semantics —
+    each re-rolled series needs all its rows); at scale the 1m table would
+    additionally be clustered by the same bucket key so the re-roll scan
+    prunes to touched buckets instead of filtering a full scan."""
     from ..icelite import IceliteTable
 
     tbl = IceliteTable(table_root)
@@ -714,8 +730,9 @@ def run_stream_to_icelite(
         if cascade
         else None
     )
+    comp = IceliteTable(table_root + "_gm") if composite else None
     out = streaming_rollup_1m(stream_transcripts_from_dir(spark, src_dir), watermark)
-    sink = icelite_sink(spark, tbl, src_dir, casc, compact_every)
+    sink = icelite_sink(spark, tbl, src_dir, casc, compact_every, comp, composite_buckets)
     return (
         out.writeStream.foreachBatch(sink)
         .outputMode("append")
@@ -724,10 +741,12 @@ def run_stream_to_icelite(
     )
 
 
-def icelite_sink(spark, tbl, src_dir, casc, compact_every):
+def icelite_sink(spark, tbl, src_dir, casc, compact_every, comp=None, comp_buckets=16):
     """Build the foreachBatch sink (factory, so replay semantics are
     directly testable outside a running stream)."""
     from ..operators.rollup import rollup_cascade
+    from ..operators.series import geomedian_mads_flat
+    from ..schema import CHANNELS
 
     commits = {"n": 0}
 
@@ -770,10 +789,10 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every):
             # the appended partitions ARE the touched days — no second
             # evaluation of the micro-batch just to rediscover them
             days = sorted(snap.delta["parts"].keys())
-        elif casc is not None:
+        elif casc is not None or comp is not None:
             # replayed batch: the 1m rows are already committed; re-derive
             # the touched days from the micro-batch and let the idempotent
-            # re-roll below repair the coarse tiers
+            # re-rolls below repair the derived tiers
             days = [
                 r["day"] for r in batch_df.select(day.alias("day")).distinct().collect()
             ]
@@ -792,6 +811,26 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every):
                 rollup_cascade(h1, "1d").withColumn("day", day), "day", cluster="bypart",
                 lineage={"micro_batch": int(batch_id), "from": "1h", "days": days},
             )
+        if comp is not None:
+            # flagship composite re-roll: the geometric median has no
+            # mergeable partial state, so touched conversations are
+            # recomputed from their FULL committed 1m history, whole hash
+            # buckets at a time (idempotent overwrite-by-partition — replays
+            # and late buckets self-repair like the relational cascade)
+            bcol = F.pmod(F.xxhash64("conv_id"), F.lit(comp_buckets))
+            touched = sorted(
+                r["gmb"]
+                for r in batch_df.select(bcol.alias("gmb")).distinct().collect()
+            )
+            part = tbl.read(spark).drop("day").filter(bcol.isin(touched))
+            comp_df = geomedian_mads_flat(part, CHANNELS, maxiters=20).withColumn(
+                "gmb", bcol
+            )
+            comp.overwrite_partitions(
+                comp_df, "gmb", cluster="bypart",
+                lineage={"micro_batch": int(batch_id), "from": "1m",
+                         "buckets": [int(b) for b in touched]},
+            )
         commits["n"] += 1
         if compact_every and commits["n"] % compact_every == 0:
             snap = tbl.snapshot()
@@ -801,11 +840,12 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every):
                         spark, "day", value,
                         lineage={"compacted": value, "after_batch": int(batch_id)},
                     )
-            if casc is not None:
-                # cascade tables are derived state: two overwrite commits per
-                # micro-batch would otherwise grow metadata + superseded
-                # files without bound over ~10^5 batches
-                for c in casc.values():
-                    c.expire_snapshots(keep_last=4)
+            # cascade/composite tables are derived state: per-micro-batch
+            # overwrite commits would otherwise grow metadata + superseded
+            # files without bound over ~10^5 batches
+            for c in list(casc.values()) if casc is not None else []:
+                c.expire_snapshots(keep_last=4)
+            if comp is not None:
+                comp.expire_snapshots(keep_last=4)
 
     return sink

@@ -136,3 +136,35 @@ def test_flat_codec_subsecond_timestamps(spark):
     got = rt.bucket.dt.tz_localize(None).tolist()
     want = [r[1] for r in rows]
     assert got == want
+
+
+def test_session_concurrency_fanout_guard(spark, tmp_path):
+    """The interval-explode fan-out is bounded by session length; a
+    pathological always-active session beyond max_session_hours must raise
+    LOUDLY (executor-side, non-prunable) instead of silently exploding or
+    truncating, while in-bound sessions are unaffected."""
+    import pandas as pd
+    from pyspark.errors import SparkRuntimeException
+
+    from hdstats_spark.driver_queries import q_session_concurrency
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: one event every 20 min for 10 days -> ONE 240h session
+    for i in range(10 * 24 * 3):
+        rows.append((i, base + datetime.timedelta(minutes=20 * i), 1, "c", 1.0, "{}"))
+    # user 2: two short sessions
+    rows.append((90000, base, 2, "c", 1.0, "{}"))
+    rows.append((90001, base + datetime.timedelta(hours=5), 2, "c", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "events.parquet")
+
+    with pytest.raises(SparkRuntimeException, match="longer than 168h"):
+        q_session_concurrency(spark, str(tmp_path)).collect()
+    # raising the bound admits the long session and counts stay exact
+    got = q_session_concurrency(spark, str(tmp_path), max_session_hours=400)
+    m = {(r.user_id, r.session_idx): r.n_concurrent for r in got.collect()}
+    assert m[(1, 1)] == 10 * 24 * 3 + 2  # user 1's 720 events + both of user 2's

@@ -647,3 +647,47 @@ def test_icelite_sink_replay_is_idempotent(spark, transcripts, tmp_path):
         finer = m1 if tier_name == "1h" else rollup_cascade(m1, "1h")
         expect = rollup_cascade(finer, tier_name).orderBy("conv_id", "bucket").toPandas()
         pd.testing.assert_frame_equal(got, expect[got.columns], check_dtype=False)
+
+
+def test_icelite_sink_streaming_composite(spark, transcripts, tmp_path):
+    """composite=True keeps the FLAGSHIP aggregate streaming-fresh: after
+    two micro-batches plus a replay of the second (the crash-between-
+    commit-and-checkpoint window), the _gm table equals the batch composite
+    (same geomedian_mads_flat kernel, same tier config) over exactly the
+    committed 1m rows — the geometric median has no mergeable partial
+    state, so the online form is the idempotent bucket re-roll."""
+    from hdstats_spark.icelite import IceliteTable
+    from hdstats_spark.operators.series import geomedian_mads_flat
+    from hdstats_spark.schema import CHANNELS
+    from hdstats_spark.streaming.stream import icelite_sink
+
+    root = str(tmp_path / "comp_1m")
+    tbl = IceliteTable(root)
+    comp = IceliteTable(root + "_gm")
+    sink = icelite_sink(spark, tbl, "src", None, None, comp, comp_buckets=4)
+
+    tier = rollup_raw(channelize(transcripts), "1m")
+    first_ids = [f"c{i:08d}" for i in range(10)]
+    batches = [
+        tier.filter(F.col("conv_id").isin(first_ids)),
+        tier.filter(~F.col("conv_id").isin(first_ids)),
+    ]
+    assert batches[0].count() > 0 and batches[1].count() > 0
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    rows_before = tbl.rows()
+    sink(batches[1], 1)  # replay: 1m append skipped, composite self-repairs
+    assert tbl.rows() == rows_before == tier.count()
+
+    got = comp.read(spark).orderBy("conv_id").toPandas().reset_index(drop=True)
+    expect = (
+        geomedian_mads_flat(tbl.read(spark).drop("day"), CHANNELS, maxiters=20)
+        .orderBy("conv_id").toPandas().reset_index(drop=True)
+    )
+    assert len(got) == len(expect) > 0
+    pd.testing.assert_frame_equal(got, expect[got.columns], check_dtype=False)
+    # every composite commit is an idempotent overwrite with bucket lineage
+    snaps = comp.snapshots()
+    assert snaps and all(
+        s.operation == "overwrite" and "buckets" in s.lineage for s in snaps
+    )
