@@ -64,6 +64,9 @@ HEADLINE = [
     # (identity low-pass / constant spectrum), hash-checked at sf0.01
     "discordance_lp_identity",
     "fourier_const_bands",
+    # r5 NON-degenerate fourier mirror: real spectra, fixed-L cohort, naive
+    # inlined-constant DFT oracle — hash-checked at all three sf dirs
+    "fourier_fixed16",
     "number_peaks_w1",
     "minhash_lsh_poly",
     "simhash_poly",

@@ -1746,6 +1746,115 @@ SELECT CAST(user_id AS VARCHAR) AS user_id, {bands} FROM lens
 """
 
 
+_FOURIER_FIXED_L = 16  # > 1 + 2*5: all three bands (k = 1..15) are defined
+
+
+def q_fourier_fixed16(spark, sf_dir, n=3, step=5):
+    """``fourier_mean/std/median`` (ts.pyx:159-192) on NON-degenerate data —
+    the first hash-green fourier mirror whose spectra are not trivially
+    zero: every user's hourly series is truncated/zero-padded to a FIXED
+    length L=16 (the first 16 buckets from its own start), so the whole
+    cohort is one length class and the real batched kernel
+    (kernels_np.fourier_batch: complex128 FFT over the stacked cohort, |·|
+    band slicing, float64 mean/std/median, float32 cast) runs end-to-end on
+    real event counts.
+
+    The fixed L is what makes a SQL oracle possible: with L known at
+    query-build time the DFT becomes 15 pairs of plain weighted sums with
+    PRECOMPUTED cos/sin constants inlined as literals (the poly31 trick
+    applied to |Y_k|) — an independent naive-DFT formulation of the same
+    spectrum.  Exactness: both sides round through float32 (CAST AS REAL in
+    the oracle) before the 6-dp hash rounding; the engines' float64
+    summation-order differences (~1e-13 relative) sit ~1e5 below float32
+    resolution, so the casts agree (verified mismatch-free on all sf dirs —
+    same argument as discordance_lp_identity, but on non-zero spectra)."""
+    from .operators.series import fourier_features_batched, series_table
+
+    L = _FOURIER_FIXED_L
+    b = (
+        _event_buckets(spark, sf_dir, "hour")
+        .select(F.col("user_id").cast("string").alias("conv_id"), "bucket", "n_events")
+    )
+    b0 = b.groupBy("conv_id").agg(F.min("bucket").alias("b0"))
+    grid = b0.select(
+        "conv_id",
+        "b0",
+        F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("t"),
+    ).select(
+        "conv_id",
+        "t",
+        (F.col("b0") + F.col("t") * F.expr("INTERVAL 1 HOUR")).alias("bucket"),
+    )
+    dense = grid.join(b, ["conv_id", "bucket"], "left").select(
+        "conv_id",
+        "bucket",
+        F.coalesce(F.col("n_events").cast("double"), F.lit(0.0)).alias("n_events"),
+    )
+    st = series_table(dense, ["n_events"])
+    out = fourier_features_batched(st, "n_events", n=n, step=step)
+    cols = [f"{stat}_{k}" for stat in ("fmean", "fstd", "fmedian") for k in range(n)]
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        *[F.round(F.col(c).cast("double"), 6).alias(c) for c in cols],
+    )
+
+
+def _sql_fourier_fixed16(n=3, step=5):
+    import numpy as np
+
+    L = _FOURIER_FIXED_L
+    ks = range(1, n * step + 1)
+    # the inlined DFT basis: repr() round-trips each double exactly, so the
+    # oracle's constants are bit-identical to cos/sin evaluated here
+    rows = ",\n    ".join(
+        f"({k}, {t}, {float(np.cos(-2.0 * np.pi * k * t / L))!r}, "
+        f"{float(np.sin(-2.0 * np.pi * k * t / L))!r})"
+        for k in ks
+        for t in range(L)
+    )
+    stats = ", ".join(
+        f"round(CAST(CAST({expr} AS REAL) AS DOUBLE), 6) AS {stat}_{j}"
+        for j in range(n)
+        for stat, expr in (
+            (
+                "fmean",
+                f"avg(mag) FILTER (WHERE band = {j})",
+            ),
+            (
+                "fstd",
+                f"stddev_pop(mag) FILTER (WHERE band = {j})",
+            ),
+            (
+                "fmedian",
+                f"median(mag) FILTER (WHERE band = {j})",
+            ),
+        )
+    )
+    return f"""
+WITH b AS ({_event_buckets_sql('hour')}),
+b0 AS (SELECT user_id, min(bucket) AS b0 FROM b GROUP BY user_id),
+grid AS (
+  SELECT user_id, b0, unnest(generate_series(0, {L - 1})) AS t FROM b0
+), d AS (
+  SELECT g.user_id, g.t, coalesce(CAST(b.n_events AS DOUBLE), 0.0) AS v
+  FROM grid g LEFT JOIN b
+    ON b.user_id = g.user_id AND b.bucket = g.b0 + to_hours(g.t)
+), consts(k, t, c, s) AS (
+  VALUES
+    {rows}
+), dft AS (
+  SELECT d.user_id, consts.k,
+         sqrt(pow(sum(d.v * consts.c), 2) + pow(sum(d.v * consts.s), 2)) AS mag
+  FROM d JOIN consts ON consts.t = d.t
+  GROUP BY 1, 2
+), banded AS (
+  SELECT user_id, CAST(floor((k - 1) / {step}) AS INT) AS band, mag FROM dft
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id, {stats}
+FROM banded GROUP BY user_id
+"""
+
+
 def q_number_peaks(spark, sf_dir):
     """CWT peak count of each user's hourly event-rate series
     (ts.pyx:222-228, scipy-free ridge-line re-derivation)."""
@@ -2370,6 +2479,7 @@ def queries():
         "symmetry_vs_median": q_symmetry_vs_median,
         "discordance_lp_identity": q_discordance_lp_identity,
         "fourier_const_bands": q_fourier_const_bands,
+        "fourier_fixed16": q_fourier_fixed16,
         "number_peaks_w1": q_number_peaks_w1,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
@@ -2439,6 +2549,7 @@ def oracles():
         "symmetry_vs_median": _sql_symmetry_vs_median(),
         "discordance_lp_identity": _sql_discordance_lp_identity(),
         "fourier_const_bands": _sql_fourier_const_bands(),
+        "fourier_fixed16": _sql_fourier_fixed16(),
         "number_peaks_w1": _sql_number_peaks_w1(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_lsh_poly": _sql_minhash_lsh_poly(),
