@@ -162,43 +162,59 @@ def connected_components(
     Returns ``(labels, rounds)``: labels (node, root) for non-singleton
     nodes; singletons are absent (callers coalesce to the node's own id).
 
-    Scale: each half-step is a groupBy + join on the node id plus a
-    distinct — all shuffles on the same key — and state is only ever the
-    current edge set; nothing is collected to the driver."""
+    Scale: each half-step is ONE window-min shuffle on the node id (the
+    groupBy+join-back formulation reads its input twice) plus the dedup
+    distinct; state is only ever the current edge set (localCheckpoint'd,
+    so each round's plan is flat and the edge set is scanned, not
+    recomputed); nothing is collected to the driver.  A pathological
+    high-degree node concentrates its window partition in one task exactly
+    as it would a groupBy — the first small-star collapses such stars to
+    height 1, which is why the alternation tolerates skew."""
+    from pyspark.sql import Window
+
+    # localCheckpoint the canonicalized input: every round reads the edge
+    # set twice (both union sides of the symmetric view) — without
+    # materialization, round 1 would run the caller's whole pair-generation
+    # plan (e.g. the shingle self-join) twice
     e = (
         edges.select(F.greatest(src, dst).alias("u"), F.least(src, dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    w_u = Window.partitionBy("u")
     sig = None
-    prev_ckpt = None
+    prev_ckpt = e
     rounds = 0
     try:
         for rounds in range(1, max_rounds + 1):
             sym = e.unionByName(
                 e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            # large-star: m = min over the CLOSED neighborhood of u
-            lmin = (
-                sym.groupBy("u")
-                .agg(F.min("v").alias("nm"))
-                .select("u", F.least("nm", F.col("u")).alias("m"))
-            )
+            # large-star via a window min (ONE shuffle, input consumed once —
+            # a groupBy+join back would recompute the symmetric view twice):
+            # m = min over the CLOSED neighborhood of u; emit (v, m) for
+            # strictly-larger neighbors, already oriented big→small
             ls = (
-                sym.join(lmin, "u")
+                sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
                 .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .filter(F.col("u") != F.col("v"))
-                .distinct()
             )
-            # small-star over big→small oriented edges: m = min(N(u)) < u
-            smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+            # small-star, same single-pass shape: m = min(N(u)) < u; each row
+            # emits (v, m) and (u, m) via a 2-element explode (duplicate
+            # (u, m) copies are folded by the final distinct)
             ss = (
-                ls.join(smin, "u")
-                .select(F.col("v").alias("a"), F.col("m").alias("b"))
-                .unionByName(
-                    smin.select(F.col("u").alias("a"), F.col("m").alias("b"))
+                ls.withColumn("m", F.min("v").over(w_u))
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                            F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        )
+                    ).alias("em")
                 )
+                .select("em.a", "em.b")
                 .filter(F.col("a") != F.col("b"))
                 .select(
                     F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
@@ -212,8 +228,7 @@ def connected_components(
                 # long sum of 64-bit hashes overflows after a handful of rows)
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
             ).first()
-            if prev_ckpt is not None:
-                prev_ckpt.unpersist()  # only the newest checkpoint is live
+            prev_ckpt.unpersist()  # only the newest checkpoint is live
             prev_ckpt = ss
             e = ss
             new_sig = (row["c"], row["h"])
@@ -226,8 +241,7 @@ def connected_components(
             f"connected_components did not converge within {max_rounds} rounds"
         )
     except Exception:
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()
+        prev_ckpt.unpersist()
         raise
 
 
