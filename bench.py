@@ -30,6 +30,7 @@ HEADLINE = [
     "rollup_1h_cascade",
     "rollup_1d_cascade",
     "derived_measures",
+    "gapfill_locf",
     "gapfill_completion",
     "change_features",
     "complexity",
@@ -115,7 +116,11 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
     if "--repeat" in sys.argv:
-        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+        idx = sys.argv.index("--repeat")
+        try:
+            repeat = int(sys.argv[idx + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: bench.py [--repeat N]  (N = per-query runs, min recorded)")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from hdstats_spark import driver_queries as dq

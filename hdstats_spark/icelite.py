@@ -95,19 +95,34 @@ def _apply_delta(base: dict, delta: dict) -> dict:
 
 class _Heartbeat(threading.Thread):
     """Touches the lock token's mtime while the holder works, so a live
-    holder is never mistaken for a dead one (lease renewal)."""
+    holder is never mistaken for a dead one (lease renewal).
+
+    Transient utime errors (EIO, an NFS hiccup) must NOT end renewal — a
+    silently stopped heartbeat turns a live holder stale and lets a waiter
+    steal mid-critical-section.  Renewal stops only after several
+    consecutive FileNotFoundErrors (the token is really gone — stolen or
+    released), and that is surfaced via ``lost`` so release can skip the
+    unlink of a token that is no longer ours."""
 
     def __init__(self, path: str, interval: float):
         super().__init__(daemon=True)
         self._path, self._interval = path, interval
         self._stopped = threading.Event()
+        self.lost = False
 
     def run(self):
+        missing = 0
         while not self._stopped.wait(self._interval):
             try:
                 os.utime(self._path)
+                missing = 0
+            except FileNotFoundError:
+                missing += 1
+                if missing >= 3:
+                    self.lost = True
+                    return
             except OSError:
-                return  # token stolen/vanished — stop renewing
+                continue  # transient — keep renewing
 
     def stop(self):
         self._stopped.set()
@@ -313,20 +328,50 @@ class IceliteTable:
                 fd = os.open(token, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "w") as f:
                     f.write(payload)
+                # read-back validation: a stealer acting on STALE stat data
+                # could have renamed our fresh token away in the create
+                # window (it restores it — see below — but our write may
+                # have landed between its rename and restore).  Confirm the
+                # token at the path is OURS before claiming the lock.
+                try:
+                    with open(token) as f:
+                        mine = json.load(f).get("owner") == owner
+                except (OSError, json.JSONDecodeError):
+                    mine = False
+                if not mine:
+                    continue
                 hb = _Heartbeat(token, self.LOCK_HEARTBEAT_S)
                 hb.start()
                 return ("token", token, owner, hb)
             except FileExistsError:
                 try:
-                    age = time.time() - os.stat(token).st_mtime
+                    observed = os.stat(token)
                 except FileNotFoundError:
                     continue  # released between attempts — retry the create
-                if age > self.LOCK_STALE_S:
-                    # dead holder: exactly one stealer wins the rename (the
-                    # losers' renames raise and they rejoin the O_EXCL race)
-                    grave = token + f".stale.{uuid.uuid4().hex[:8]}"
+                if time.time() - observed.st_mtime > self.LOCK_STALE_S:
+                    # dead holder — steal with an IDENTITY-verified rename.
+                    # The grave name is derived from the observed inode, so
+                    # every stealer that statted the same stale token
+                    # targets the same grave: exactly one rename succeeds,
+                    # the losers see FileNotFoundError and rejoin the race.
+                    # If the winner already recreated a FRESH token before a
+                    # loser's rename lands, the loser would rename a LIVE
+                    # lock away — so after the rename, the inode is checked
+                    # against what was statted and a mismatched (fresh)
+                    # token is renamed straight back.  A real object store
+                    # closes this class with a conditional delete (S3
+                    # If-Match / GCS if-generation-match); the restore +
+                    # the acquirer's read-back validation above are the
+                    # filesystem emulation of that conditional.
+                    grave = token + f".stale.{observed.st_ino}"
                     try:
                         os.rename(token, grave)
+                    except (FileNotFoundError, OSError):
+                        continue
+                    try:
+                        if os.stat(grave).st_ino != observed.st_ino:
+                            os.rename(grave, token)  # live token — restore
+                            continue
                     except FileNotFoundError:
                         continue
                     try:

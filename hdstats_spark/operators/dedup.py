@@ -44,7 +44,10 @@ _live_caches: dict[str, DataFrame] = {}
 def _swap_cache(key: str, df: DataFrame) -> DataFrame:
     prev = _live_caches.get(key)
     if prev is not None:
-        prev.unpersist()
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # predecessor belonged to a since-stopped SparkSession
     out = df.cache()
     _live_caches[key] = out
     return out

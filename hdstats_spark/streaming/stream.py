@@ -549,7 +549,12 @@ def streaming_neardup_embedding(
     the keys by construction.  Same bounded evicted-id replay guard and
     TTL'd state; candidate generation is identical to the batch operator's
     bucket self-join, so streamed pairs equal batch pairs for on-time data
-    (tested)."""
+    (tested).
+
+    NB state-schema compatibility (same contract as the minhash op): the
+    ``asigs`` field added in r5 makes checkpoints written by the previous
+    state schema non-resumable — restart such a stream with a FRESH
+    checkpoint and let the batch reroll path reconcile the gap."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -790,12 +795,16 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every, comp=None, comp_bucke
             # evaluation of the micro-batch just to rediscover them
             days = sorted(snap.delta["parts"].keys())
         elif casc is not None or comp is not None:
-            # replayed batch: the 1m rows are already committed; re-derive
-            # the touched days from the micro-batch and let the idempotent
-            # re-rolls below repair the derived tiers
-            days = [
-                r["day"] for r in batch_df.select(day.alias("day")).distinct().collect()
-            ]
+            # replayed batch: the 1m rows are already committed; the
+            # idempotent re-rolls below repair the derived tiers.  Touched
+            # days are re-derived from the micro-batch only when the
+            # cascade needs them (the composite collects its own buckets —
+            # evaluating the batch here too would be a wasted Spark job)
+            days = (
+                [r["day"] for r in batch_df.select(day.alias("day")).distinct().collect()]
+                if casc is not None
+                else None
+            )
         else:
             return
         if casc is not None:

@@ -66,16 +66,21 @@ def main():
                user_id + {i * 1_000_000} AS user_id, event_type, value, props
         FROM {src('events')}""",
     )
+    # n_chars computed in an OUTER select over the transformed text: inside
+    # one SELECT, DuckDB binds length(text) to the BASE column, not the
+    # lateral alias, which would store a stale pre-transform count
     gen(
         "documents",
         lambda i: (
+            "SELECT doc_id, text, lang, source, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM ("
             f"SELECT doc_id + {i * 1_000_000} AS doc_id, "
             + (
                 "text, "
                 if i == 0
                 else f"array_to_string(list_transform(string_split(text, ' '), w -> w || '_{i}'), ' ') AS text, "
             )
-            + f"lang, source, CAST(length(text) AS INT) AS n_chars FROM {src('documents')}"
+            + f"lang, source FROM {src('documents')})"
         ),
     )
     gen(
