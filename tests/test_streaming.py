@@ -691,3 +691,48 @@ def test_icelite_sink_streaming_composite(spark, transcripts, tmp_path):
     assert snaps and all(
         s.operation == "overwrite" and "buckets" in s.lineage for s in snaps
     )
+
+
+def test_streaming_composite_live_stream(spark, transcripts, tmp_path):
+    """composite=True through a REAL running stream (not just the sink
+    factory): after the stream drains, the _gm table equals the batch
+    composite over exactly the 1m rows the stream committed — the flagship
+    aggregate is streaming-fresh end-to-end."""
+    from hdstats_spark.icelite import IceliteTable
+    from hdstats_spark.operators.series import geomedian_mads_flat
+    from hdstats_spark.schema import CHANNELS
+    from hdstats_spark.streaming.stream import run_stream_to_icelite
+
+    src = str(tmp_path / "arrivals_comp")
+    ckpt = str(tmp_path / "ckpt_comp")
+    root = str(tmp_path / "tier_1m_comp")
+    transcripts.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(src)
+    parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    base = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    q = run_stream_to_icelite(
+        spark, src, ckpt, root, watermark="0 seconds",
+        composite=True, composite_buckets=4,
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    m1 = IceliteTable(root).read(spark).drop("day")
+    got = (
+        IceliteTable(root + "_gm").read(spark)
+        .orderBy("conv_id").toPandas().reset_index(drop=True)
+    )
+    expect = (
+        geomedian_mads_flat(m1, CHANNELS, maxiters=20)
+        .orderBy("conv_id").toPandas().reset_index(drop=True)
+    )
+    assert len(got) == len(expect) > 0
+    pd.testing.assert_frame_equal(got, expect[got.columns], check_dtype=False)
