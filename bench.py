@@ -45,6 +45,9 @@ HEADLINE = [
     "doc_stats",
     "exact_dedup",
     "corpus_filter",
+    # r5: benchmark decontamination (broadcast dirty-ngram set, map-only
+    # corpus probe) — hash-checked at sf0.01
+    "decontaminate",
     "lang_id",
     "knn_cosine",
     "embedding_dups",

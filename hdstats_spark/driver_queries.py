@@ -758,6 +758,44 @@ FROM reach GROUP BY node
 """
 
 
+def q_decontaminate(spark, sf_dir, n=6, bench_mod=50):
+    """Benchmark decontamination over the documents table: every doc
+    sharing ≥1 word n-gram with the pseudo-benchmark set (doc_id % 50 == 0
+    — a deterministic stand-in for an eval suite, which naturally flags
+    the benchmark docs themselves plus their near-duplicates, exactly what
+    decontamination is for).  Operator: operators.dedup.decontaminate —
+    broadcast benchmark n-gram set + map-only corpus probe.  Oracle: the
+    same n-gram construction the jaccard CTE uses, as an independent
+    DuckDB join."""
+    from .operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % bench_mod == 0)
+    return decontaminate(d, bench, n=n)
+
+
+def _sql_decontaminate(n=6, bench_mod=50):
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+  FROM t
+), dirty AS (
+  SELECT DISTINCT shingle FROM s WHERE doc_id % {bench_mod} = 0
+), hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_dirty
+  FROM s JOIN dirty USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_dirty, 0) AS n_dirty_ngrams,
+       CAST(coalesce(h.n_dirty, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_asof_join_events(spark, sf_dir):
     """AS-OF join — the point-in-time feature join Spark has no native
     operator for (and the classic training-data leakage guard): each event
@@ -2440,7 +2478,6 @@ def queries():
     return {
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
-        "rollup_1d_cascade": q_rollup_1d_cascade,
         "derived_measures": q_derived_measures,
         "gapfill_completion": q_gapfill_completion,
         "change_features": q_change_features,
@@ -2457,6 +2494,7 @@ def queries():
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
+        "decontaminate": q_decontaminate,
         "asof_join_events": q_asof_join_events,
         "dup_clusters": q_dup_clusters,
         "fingerprint": q_fingerprint,
@@ -2500,6 +2538,7 @@ def bench_only_queries():
     queries() and its kernel/recall is pytest-anchored — see COVERAGE.md),
     still benched every round so per-query perf history stays comparable."""
     return {
+        "rollup_1d_cascade": q_rollup_1d_cascade,
         "gapfill_locf": q_gapfill_locf,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "dtw_area": q_dtw_area,
@@ -2534,6 +2573,7 @@ def oracles():
         "doc_stats": _SQL_DOC_STATS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_filter": _sql_corpus_filter(),
+        "decontaminate": _sql_decontaminate(),
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "dup_clusters": _sql_dup_clusters(),
         "fingerprint": SQL_FINGERPRINT,

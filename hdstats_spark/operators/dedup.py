@@ -132,6 +132,45 @@ def shingle_jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 6,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Test-set DECONTAMINATION — the training-data step none of the dedup
+    operators cover: flag every corpus document sharing at least one word
+    n-gram with a benchmark/eval set, so evaluation data can be excluded
+    from training (the standard n-gram-overlap rule, e.g. GPT-3 appendix C
+    / PaLM's 13-gram variant; n is a dial, default 6).
+
+    Plan shape at 10^12 tokens: the benchmark side is SMALL by definition
+    (eval suites are O(10^5) documents), so its distinct n-gram set is
+    broadcast — an EXPLICIT broadcast, unlike the corpus-sized dimension
+    joins this module deliberately leaves unhinted — and the corpus side is
+    map-only (explode n-grams → broadcast-hash semi-probe) with its only
+    shuffle the per-doc hit count.  Returns every doc with
+    (n_dirty_ngrams, contaminated); n_dirty_ngrams counts DISTINCT
+    overlapping n-grams (shingles_col de-dups per doc)."""
+    dirty = benchmark.select(
+        F.explode(shingles_col(n, text_col)).alias("shingle")
+    ).distinct()
+    s = docs.select(id_col, F.explode(shingles_col(n, text_col)).alias("shingle"))
+    hits = (
+        s.join(F.broadcast(dirty), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dirty"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dirty", zero).alias("n_dirty_ngrams"),
+            (F.coalesce("n_dirty", zero) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 64
 ) -> tuple[DataFrame, int]:

@@ -359,3 +359,28 @@ def test_connected_components_star_input_and_empty(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     labels, _ = connected_components(empty)
     assert labels.count() == 0
+
+
+def test_decontaminate_planted(spark):
+    """Planted contamination: a corpus doc quoting a benchmark 6-gram is
+    flagged with the right distinct-overlap count; clean docs are 0; the
+    benchmark doc itself (when also in the corpus) is fully dirty."""
+    from hdstats_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    corpus = spark.createDataFrame(
+        [
+            (0, bench_text),  # the benchmark doc inside the corpus
+            (1, "xx yy alpha bravo charlie delta echo foxtrot zz ww"),  # quotes one 6-gram
+            (2, "one two three four five six seven eight nine ten"),  # clean
+            (3, "short doc"),  # < n tokens: no shingles, never flagged
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_dirty_ngrams, r.contaminated)
+           for r in decontaminate(corpus, bench, n=6).collect()}
+    assert got[0] == (3, 1)  # 8 tokens -> 3 distinct 6-grams, all dirty
+    assert got[1] == (1, 1)  # exactly the quoted 6-gram
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
