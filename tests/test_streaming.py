@@ -736,3 +736,52 @@ def test_streaming_composite_live_stream(spark, transcripts, tmp_path):
     )
     assert len(got) == len(expect) > 0
     pd.testing.assert_frame_equal(got, expect[got.columns], check_dtype=False)
+
+
+def test_icelite_sink_cascade_composite_compaction_together(spark, transcripts, tmp_path):
+    """All three sink features at once (cascade + composite + compact_every)
+    across several micro-batches: the derived tables must equal their batch
+    twins AND the maintenance pass (1m compaction, cascade+composite
+    snapshot expiry) must not clobber or double-apply anything."""
+    from hdstats_spark.icelite import IceliteTable
+    from hdstats_spark.operators.rollup import rollup_cascade
+    from hdstats_spark.operators.series import geomedian_mads_flat
+    from hdstats_spark.schema import CHANNELS
+    from hdstats_spark.streaming.stream import icelite_sink
+
+    root = str(tmp_path / "all_1m")
+    tbl = IceliteTable(root)
+    casc = {"1h": IceliteTable(root + "_1h"), "1d": IceliteTable(root + "_1d")}
+    comp = IceliteTable(root + "_gm")
+    sink = icelite_sink(spark, tbl, "src", casc, 2, comp, comp_buckets=4)
+
+    tier = rollup_raw(channelize(transcripts), "1m")
+    ids = sorted(r["conv_id"] for r in tier.select("conv_id").distinct().collect())
+    quarters = [ids[i::4] for i in range(4)]
+    for b, q in enumerate(quarters):
+        sink(tier.filter(F.col("conv_id").isin(q)), b)
+    sink(tier.filter(F.col("conv_id").isin(quarters[3])), 3)  # replay last
+
+    m1 = tbl.read(spark).drop("day")
+    assert m1.count() == tier.count()
+    for tier_name, t in (("1h", casc["1h"]), ("1d", casc["1d"])):
+        got = t.read(spark).drop("day").orderBy("conv_id", "bucket").toPandas()
+        finer = m1 if tier_name == "1h" else rollup_cascade(m1, "1h")
+        expect = rollup_cascade(finer, tier_name).orderBy("conv_id", "bucket").toPandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            expect[got.columns].reset_index(drop=True),
+            check_dtype=False,
+        )
+    got = comp.read(spark).orderBy("conv_id").toPandas().reset_index(drop=True)
+    expect = (
+        geomedian_mads_flat(m1, CHANNELS, maxiters=20)
+        .orderBy("conv_id").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect[got.columns], check_dtype=False)
+    # maintenance really ran: the last expiry (after the 4th commit) left
+    # <=4 snapshots and the replay adds at most one more overwrite; the 1m
+    # chain still resolves after compaction commits
+    for t in (*casc.values(), comp):
+        assert len(t.snapshots()) <= 5
+    assert tbl.rows() == tier.count()
