@@ -384,3 +384,48 @@ def test_decontaminate_planted(spark):
     assert got[1] == (1, 1)  # exactly the quoted 6-gram
     assert got[2] == (0, 0)
     assert got[3] == (0, 0)
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized cross-check of the large-star/small-star fixpoint against
+    an independent union-find oracle: several seeded random graphs across
+    density regimes (forest-sparse → near-complete) must yield identical
+    component labelings (root = component min), with singletons absent."""
+    import numpy as np
+
+    from hdstats_spark.operators.dedup import connected_components
+
+    def uf_labels(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for v in range(n_nodes):
+            comp.setdefault(find(v), []).append(v)
+        out = {}
+        for members in comp.values():
+            if len(members) > 1:
+                root = min(members)
+                for v in members:
+                    if v != root:
+                        out[v] = root
+        return out
+
+    for seed, n_nodes, n_edges in [(1, 200, 60), (2, 200, 200), (3, 120, 800), (4, 300, 299)]:
+        rng = np.random.default_rng(seed)
+        pairs = rng.integers(0, n_nodes, size=(n_edges, 2))
+        edges = [(int(a), int(b)) for a, b in pairs]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        labels, rounds = connected_components(df)
+        got = {r["node"]: r["root"] for r in labels.collect()}
+        assert got == uf_labels(n_nodes, edges), (seed, rounds)
+        assert rounds <= 12, (seed, rounds)

@@ -48,6 +48,13 @@ def main():
 
     spark = get_spark(app="parity", cores=8, shuffle_partitions=8, driver_memory="8g")
     qs = entrymod.queries()
+    if only:
+        # explicitly-named queries may come from the bench-only registry
+        # (retired from the ≤50-entry ledger but still oracle-equipped —
+        # COVERAGE.md); the default sweep mirrors the driver gate exactly
+        from hdstats_spark import driver_queries as dq
+
+        qs = {**qs, **{k: v for k, v in dq.bench_only_queries().items() if k in only}}
     sqls = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
