@@ -658,6 +658,70 @@ def streaming_neardup_embedding(
     )
 
 
+def streaming_decontaminate(
+    doc_stream: DataFrame,
+    benchmark: DataFrame,
+    n: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming benchmark decontamination — the online counterpart of
+    ``operators.dedup.decontaminate``, restated STATELESSLY: the batch
+    operator's explode → join → per-doc groupBy is an illegal streaming
+    aggregation in append mode, but the contamination decision only ever
+    depends on a document's OWN n-grams versus a static dirty set, so the
+    streaming form needs no state at all.
+
+    The benchmark's distinct n-gram set is collected once and broadcast as
+    a Python set (bounded BY DEFINITION — eval suites are O(10^5) docs;
+    the same smallness argument that justifies the batch operator's
+    broadcast join); each arriving document's shingles are computed
+    JVM-side by the SAME ``shingles_col`` expression the batch operator
+    uses (one tokenizer, zero drift) and counted against the set in a
+    vectorized mapInPandas — map-only, no shuffle, no watermark needed.
+    Streamed output equals the batch operator row-for-row (tested)."""
+    import pandas as pd
+
+    from ..operators.dedup import shingles_col
+
+    # the batch operator's own dirty-set derivation (distinct grams),
+    # collected driver-side: |grams| ≤ benchmark tokens, small by definition
+    dirty_rows = (
+        benchmark.select(F.explode(shingles_col(n, text_col)).alias("s"))
+        .distinct()
+        .collect()
+    )
+    dirty = frozenset(r["s"] for r in dirty_rows)
+    b = doc_stream.sparkSession.sparkContext.broadcast(dirty)
+
+    shingled = doc_stream.select(
+        id_col, ts_col, shingles_col(n, text_col).alias("_sh")
+    )
+
+    def gen(batches):
+        d = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hits = [sum(1 for g in row if g in d) for row in pdf["_sh"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    ts_col: pdf[ts_col],
+                    "n_dirty_ngrams": pd.Series(hits, dtype="int64"),
+                    "contaminated": pd.Series(
+                        [1 if h else 0 for h in hits], dtype="int32"
+                    ),
+                }
+            )
+
+    return shingled.mapInPandas(
+        gen,
+        f"{id_col} long, {ts_col} timestamp, n_dirty_ngrams long, contaminated int",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, src_dir: str, checkpoint: str, name: str = "tier_1m_stream",
     watermark: str = "10 minutes",

@@ -785,3 +785,68 @@ def test_icelite_sink_cascade_composite_compaction_together(spark, transcripts, 
     for t in (*casc.values(), comp):
         assert len(t.snapshots()) <= 5
     assert tbl.rows() == tier.count()
+
+
+def test_streaming_decontaminate_equals_batch(spark, tmp_path):
+    """Streaming decontamination (stateless map-only form) ≡ the batch
+    operator row-for-row on the same corpus/benchmark, across multiple
+    micro-batches."""
+    import datetime
+
+    from hdstats_spark.operators.dedup import decontaminate
+    from hdstats_spark.streaming.stream import streaming_decontaminate
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    t0 = datetime.datetime(2025, 5, 1)
+    rows = [
+        (0, t0, bench_text),
+        (1, t0 + datetime.timedelta(minutes=1), "xx yy alpha bravo charlie delta echo foxtrot zz ww"),
+        (2, t0 + datetime.timedelta(minutes=2), "one two three four five six seven eight nine ten"),
+        (3, t0 + datetime.timedelta(minutes=3), "short doc"),
+        (4, t0 + datetime.timedelta(minutes=4), "golf hotel india juliet kilo lima mike november"),
+    ]
+    src = str(tmp_path / "dec_src")
+    os.makedirs(src)
+    # two arrival files -> two micro-batches
+    spark.createDataFrame(rows[:3], ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+    base = time.time()
+    for p in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(p, (base - 100, base - 100))
+    spark.createDataFrame(rows[3:], ["doc_id", "ts", "text"]).coalesce(1).write.mode("append").parquet(src)
+
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_decontaminate(stream, bench, n=6)
+        .writeStream.format("memory")
+        .queryName("dec_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dec_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = (
+        spark.table("dec_stream").toPandas()
+        .set_index("doc_id")[["n_dirty_ngrams", "contaminated"]]
+        .sort_index()
+    )
+    corpus = spark.createDataFrame([(i, t) for i, _, t in rows], ["doc_id", "text"])
+    expect = (
+        decontaminate(corpus, bench, n=6).toPandas()
+        .set_index("doc_id")[["n_dirty_ngrams", "contaminated"]]
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    assert got.loc[1, "contaminated"] == 1 and got.loc[2, "contaminated"] == 0
