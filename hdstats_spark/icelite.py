@@ -157,12 +157,41 @@ class IceliteTable:
     def _snapshot_path(self, sid: str) -> str:
         return os.path.join(self.meta_dir, f"snapshot-{sid}.json")
 
+    def _gen_path(self, seq: int) -> str:
+        return os.path.join(self.meta_dir, f"gen-{seq:012d}")
+
     def current_snapshot_id(self) -> str | None:
+        """Resolve the live snapshot: read the `current` HINT, then probe
+        generation files FORWARD until the first missing one.
+
+        The generation file (`gen-<seq>`, created put-if-absent) is what
+        DECIDES a commit — the hint is advisory and may lag by exactly one
+        commit if a writer crashed between its gen-file CAS and the hint
+        rewrite, so readers must probe past it.  Probing is O(1) amortized:
+        the hint is rewritten on every successful commit, so the forward
+        walk is almost always zero or one step."""
         cur = os.path.join(self.meta_dir, "current")
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as f:
-            return f.read().strip() or None
+        sid: str | None = None
+        seq = 0
+        try:
+            with open(cur) as f:
+                parts = f.read().split()
+            if parts:
+                sid = parts[0]
+                # hint format "sid seq"; pre-CAS hints carried only the sid
+                seq = int(parts[1]) if len(parts) > 1 else self._load_raw(sid).seq
+        except FileNotFoundError:
+            pass
+        probe = seq + 1 if sid else 1
+        while True:
+            try:
+                with open(self._gen_path(probe)) as f:
+                    nxt = f.read().strip()
+            except FileNotFoundError:
+                return sid
+            if nxt:
+                sid = nxt
+            probe += 1
 
     def _load_raw(self, sid: str) -> Snapshot:
         """Load one snapshot JSON without resolving its manifest."""
@@ -301,6 +330,13 @@ class IceliteTable:
             return ("flock", self._acquire_flock())
         if mode == "token":
             return self._acquire_token()
+        if mode == "none":
+            # commits are already serialized by the gen-file put-if-absent
+            # CAS (see _commit); "none" is the honest object-store mode when
+            # no lease service exists — contended writers just pay wasted
+            # snapshot writes, and expire_snapshots must be run from a
+            # single maintenance owner by deployment convention
+            return ("none",)
         raise ValueError(f"unknown lock mode {mode!r}")
 
     def _acquire_flock(self) -> int:
@@ -366,7 +402,7 @@ class IceliteTable:
                     grave = token + f".stale.{observed.st_ino}"
                     try:
                         os.rename(token, grave)
-                    except (FileNotFoundError, OSError):
+                    except OSError:  # incl. FileNotFoundError (lost the race)
                         continue
                     try:
                         if os.stat(grave).st_ino != observed.st_ino:
@@ -384,6 +420,8 @@ class IceliteTable:
                 time.sleep(0.005)
 
     def _release_lock(self, handle) -> None:
+        if handle[0] == "none":
+            return
         if handle[0] == "flock":
             fd = handle[1]
             fcntl.flock(fd, fcntl.LOCK_UN)
@@ -391,6 +429,8 @@ class IceliteTable:
             return
         _, token, owner, hb = handle
         hb.stop()
+        if hb.lost:
+            return  # renewal saw the token gone repeatedly — nothing ours left
         # unlink only our own token.  The read→unlink window is unsafe only
         # if this holder ALREADY went stale (≥ LOCK_STALE_S of missed
         # heartbeats while alive) and was stolen+recreated in between — the
@@ -436,13 +476,24 @@ class IceliteTable:
         )
 
     def _commit(self, snap: Snapshot, expected_parent: str | None) -> Snapshot:
-        """Optimistic-concurrency commit: flip `current` only while holding
-        the commit lock AND only if the live snapshot is still the parent
-        this commit was derived from (Iceberg's compare-and-swap on the
-        metadata pointer).  A lost race raises CommitConflict; append /
-        overwrite retry by re-reading the chain head and re-deriving — data
-        files are immutable and already written, so the retry is
-        metadata-only."""
+        """Optimistic-concurrency commit.  What DECIDES the commit is a
+        PUT-IF-ABSENT of the generation file `gen-<seq>` (O_EXCL create —
+        the Delta-Lake/S3-If-None-Match protocol): two writers deriving
+        children of the same parent compute the same seq, exactly one
+        O_EXCL create succeeds, the loser gets CommitConflict and retries
+        metadata-only.  This is atomic on any store with a conditional
+        put, so commit CORRECTNESS does not depend on the commit lock at
+        all — the lock (flock / token lease / "none") is a contention
+        optimization that avoids wasted snapshot writes, plus the
+        serialization expire_snapshots needs; even if a lease misbehaves
+        and two holders slip through, the gen-file CAS still serializes
+        them correctly (one conflicts, none is lost).
+
+        Ordering: snapshot JSON first, then the gen CAS, then the `current`
+        hint rewrite — a crash after the CAS leaves the commit durable
+        (readers probe generations past the hint), a crash before it leaves
+        an unreferenced orphan JSON."""
+        os.makedirs(self.meta_dir, exist_ok=True)  # lock="none" has no acquire-side mkdir
         fd = self._acquire_lock()
         try:
             if self.current_snapshot_id() != expected_parent:
@@ -453,10 +504,26 @@ class IceliteTable:
             snap.committed_at = time.time()
             with open(self._snapshot_path(snap.snapshot_id), "w") as f:
                 json.dump(snap.to_json(), f, indent=2, default=str)
+            try:
+                gfd = os.open(
+                    self._gen_path(snap.seq), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                # lost the generation race: our snapshot JSON was never
+                # referenced — remove the orphan and let the caller retry
+                try:
+                    os.unlink(self._snapshot_path(snap.snapshot_id))
+                except FileNotFoundError:
+                    pass
+                raise CommitConflict(
+                    f"generation {snap.seq} already committed by another writer"
+                )
+            with os.fdopen(gfd, "w") as f:
+                f.write(snap.snapshot_id)
             tmp = os.path.join(self.meta_dir, f".current.{snap.snapshot_id}")
             with open(tmp, "w") as f:
-                f.write(snap.snapshot_id)
-            os.replace(tmp, os.path.join(self.meta_dir, "current"))  # atomic flip
+                f.write(f"{snap.snapshot_id} {snap.seq}")
+            os.replace(tmp, os.path.join(self.meta_dir, "current"))  # hint flip
             self._mcache = (snap.snapshot_id, snap.partitions)
             return snap
         finally:
@@ -466,8 +533,11 @@ class IceliteTable:
         self, operation: str, mode: str, parts: dict, lineage: dict | None
     ) -> Snapshot:
         """Shared optimistic-retry loop for append/overwrite: derive a child
-        of the current head, CAS-commit, re-derive on a lost race."""
-        for _ in range(20):
+        of the current head, CAS-commit, re-derive on a lost race.  Lost
+        races back off with a per-process stagger — under lock="none" the
+        gen-file CAS is the only serializer, and hot-spinning contenders
+        can otherwise starve one writer for many consecutive rounds."""
+        for attempt in range(50):
             prev = self.snapshot()
             try:
                 return self._commit(
@@ -475,8 +545,9 @@ class IceliteTable:
                     expected_parent=prev.snapshot_id if prev else None,
                 )
             except CommitConflict:
+                time.sleep(min(0.002 * attempt, 0.05) + (os.getpid() % 16) * 0.0004)
                 continue
-        raise CommitConflict(f"{operation} lost 20 consecutive commit races")
+        raise CommitConflict(f"{operation} lost 50 consecutive commit races")
 
     # ------------------------------------------------------------- write
 
@@ -762,6 +833,13 @@ class IceliteTable:
                     pass
             for s in expired:
                 os.unlink(self._snapshot_path(s.snapshot_id))
+                try:
+                    # expired snapshots are a PREFIX of the chain, so their
+                    # generations are all below every survivor's — removing
+                    # them never breaks the hint's forward probe
+                    os.unlink(self._gen_path(s.seq))
+                except FileNotFoundError:
+                    pass  # pre-CAS table
             # drop now-empty commit dirs so the data tree stays listable
             if os.path.isdir(self.data_dir):
                 for entry in os.listdir(self.data_dir):

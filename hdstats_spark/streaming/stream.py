@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from ..operators.channels import channelize
 from ..schema import TRANSCRIPT_SCHEMA
 
+# previous streaming_decontaminate dirty-set broadcast (lifecycle: swapped
+# out per call, see that function)
+_last_dirty_broadcast = None
+
 
 def stream_transcripts_from_dir(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
     """File-based transcript stream (each new parquet file = one micro-batch
@@ -693,7 +697,19 @@ def streaming_decontaminate(
         .collect()
     )
     dirty = frozenset(r["s"] for r in dirty_rows)
+    # swap out the previous call's broadcast (same lifecycle discipline as
+    # dedup._swap_cache): repeated calls in a long-lived driver would
+    # otherwise pin every dirty set for the session lifetime.  A stream
+    # still running on the old broadcast recomputes nothing — destroy() is
+    # deferred blocking-free and the stream holds its own reference.
+    global _last_dirty_broadcast
+    if _last_dirty_broadcast is not None:
+        try:
+            _last_dirty_broadcast.unpersist()
+        except Exception:
+            pass  # previous broadcast belonged to a stopped SparkContext
     b = doc_stream.sparkSession.sparkContext.broadcast(dirty)
+    _last_dirty_broadcast = b
 
     shingled = doc_stream.select(
         id_col, ts_col, shingles_col(n, text_col).alias("_sh")

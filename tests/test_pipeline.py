@@ -530,13 +530,15 @@ def test_icelite_commits_with_flock_disabled(spark, tmp_path):
     assert t.rows() == 2 and len(t.read(spark).collect()) == 2
 
 
-def test_icelite_token_lock_multiprocess_stress(tmp_path):
+@pytest.mark.parametrize("lock_mode", ["token", "none"])
+def test_icelite_lock_multiprocess_stress(tmp_path, lock_mode):
     """Mutual exclusion under REAL concurrency: 8 processes race 25 commits
-    each through the token lock (no flock anywhere).  Every commit must
-    land (the CAS retry loop absorbs lost races), the chain must be a
-    single linear parent chain of exactly 200 commits, and per-key counters
-    must show no lost update — the property the steal/restore protocol
-    exists to protect."""
+    each.  ``token`` exercises the lease lock; ``none`` proves the
+    generation-file put-if-absent CAS alone serializes commits with NO lock
+    at all (the property that makes commit correctness independent of any
+    lease's failure modes).  Every commit must land (the CAS retry loop
+    absorbs lost races), the chain must be a single linear parent chain of
+    exactly 200 commits, and no append may be lost."""
     import json
     import os
     import subprocess
@@ -548,7 +550,7 @@ def test_icelite_token_lock_multiprocess_stress(tmp_path):
         "import sys, json\n"
         f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
         "from hdstats_spark.icelite import IceliteTable\n"
-        f"t = IceliteTable({root!r}, lock='token')\n"
+        f"t = IceliteTable({root!r}, lock={lock_mode!r})\n"
         f"for i in range({n_commits}):\n"
         "    t._commit_delta('append', 'append',\n"
         "        {'p': {'files': [f'w{sys.argv[1]}-{i}.parquet'], 'rows': 1}},\n"
@@ -566,7 +568,7 @@ def test_icelite_token_lock_multiprocess_stress(tmp_path):
         out, err = p.communicate(timeout=300)
         assert p.returncode == 0 and out.strip() == "ok", err[-2000:]
 
-    t = IceliteTable(root, lock="token")
+    t = IceliteTable(root, lock=lock_mode)
     snaps = t.snapshots()
     assert len(snaps) == n_procs * n_commits
     # single linear chain: every snapshot's parent is the previous one
@@ -583,3 +585,54 @@ def test_icelite_token_lock_multiprocess_stress(tmp_path):
     assert len(head.partitions["p"]["files"]) == n_procs * n_commits
     # no stale lock debris left behind
     assert not os.path.exists(t._token_path())
+
+
+def test_icelite_gen_cas_survives_hint_crash(spark, tmp_path):
+    """A commit is DECIDED by its generation file: if a writer crashes after
+    the gen-file CAS but before rewriting the `current` hint, readers must
+    still see the committed snapshot (forward probe past the stale hint),
+    and the next commit must chain onto it."""
+    import json
+    import os
+
+    t = IceliteTable(str(tmp_path / "crashwin"))
+    s1 = t._commit_delta("append", "append", {"p": {"files": ["a.parquet"], "rows": 1}}, None)
+    s2 = t._commit_delta("append", "append", {"p": {"files": ["b.parquet"], "rows": 1}}, None)
+    # simulate the crash window: roll the hint back to s1 (gen-2 remains)
+    with open(os.path.join(t.meta_dir, "current"), "w") as f:
+        f.write(f"{s1.snapshot_id} {s1.seq}")
+    cold = IceliteTable(t.root)
+    assert cold.current_snapshot_id() == s2.snapshot_id  # probed past the hint
+    assert cold.rows() == 2
+    s3 = cold._commit_delta("append", "append", {"p": {"files": ["c.parquet"], "rows": 1}}, None)
+    assert s3.parent_id == s2.snapshot_id and s3.seq == 3
+    # pre-CAS hint format (sid only) still resolves
+    with open(os.path.join(t.meta_dir, "current"), "w") as f:
+        f.write(s2.snapshot_id)
+    assert IceliteTable(t.root).current_snapshot_id() == s3.snapshot_id
+
+
+def test_icelite_gen_cas_conflict_without_lock(tmp_path):
+    """Two children of the same parent, committed with lock='none': the
+    gen-file CAS lets exactly one through and the loser's snapshot JSON is
+    cleaned up (no orphan metadata)."""
+    import os
+
+    from hdstats_spark.icelite import CommitConflict
+
+    t = IceliteTable(str(tmp_path / "cas"), lock="none")
+    base = t._commit_delta("append", "append", {"p": {"files": ["a.parquet"], "rows": 1}}, None)
+    prev = t.snapshot()
+    c1 = t._next_snapshot(prev, "append", "append", {"p": {"files": ["b.parquet"], "rows": 1}}, None)
+    c2 = t._next_snapshot(prev, "append", "append", {"p": {"files": ["c.parquet"], "rows": 1}}, None)
+    assert c1.seq == c2.seq == base.seq + 1
+    t._commit(c1, expected_parent=prev.snapshot_id)
+    # drive c2 through _commit with the parent check PASSING (expected =
+    # the new head, the interleaving a racing writer hits): the generation
+    # CAS itself must reject the duplicate seq
+    t2 = IceliteTable(t.root, lock="none")
+    with pytest.raises(CommitConflict, match="generation"):
+        t2._commit(c2, expected_parent=c1.snapshot_id)
+    assert t.current_snapshot_id() == c1.snapshot_id
+    # the loser's snapshot JSON was cleaned up — no orphan metadata
+    assert not os.path.exists(t2._snapshot_path(c2.snapshot_id))

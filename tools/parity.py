@@ -55,6 +55,11 @@ def main():
         from hdstats_spark import driver_queries as dq
 
         qs = {**qs, **{k: v for k, v in dq.bench_only_queries().items() if k in only}}
+        unknown = only - set(qs)
+        if unknown:
+            # a typo'd name silently matching nothing would print "0
+            # failures" without comparing anything — a false-green gate
+            sys.exit(f"unknown query name(s): {sorted(unknown)}")
     sqls = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
