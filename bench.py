@@ -67,6 +67,8 @@ HEADLINE = [
     # r4 degenerate-exact mirrors: both drive the REAL batched FFT kernels
     # (identity low-pass / constant spectrum), hash-checked at sf0.01
     "discordance_lp_identity",
+    "discordance_fixed16",
+    "topk_users",
     "fourier_const_bands",
     # r5 NON-degenerate fourier mirror: real spectra, fixed-L cohort, naive
     # inlined-constant DFT oracle — hash-checked at all three sf dirs

@@ -1808,27 +1808,7 @@ def q_fourier_fixed16(spark, sf_dir, n=3, step=5):
     same argument as discordance_lp_identity, but on non-zero spectra)."""
     from .operators.series import fourier_features_batched, series_table
 
-    L = _FOURIER_FIXED_L
-    b = (
-        _event_buckets(spark, sf_dir, "hour")
-        .select(F.col("user_id").cast("string").alias("conv_id"), "bucket", "n_events")
-    )
-    b0 = b.groupBy("conv_id").agg(F.min("bucket").alias("b0"))
-    grid = b0.select(
-        "conv_id",
-        "b0",
-        F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("t"),
-    ).select(
-        "conv_id",
-        "t",
-        (F.col("b0") + F.col("t") * F.expr("INTERVAL 1 HOUR")).alias("bucket"),
-    )
-    dense = grid.join(b, ["conv_id", "bucket"], "left").select(
-        "conv_id",
-        "bucket",
-        F.coalesce(F.col("n_events").cast("double"), F.lit(0.0)).alias("n_events"),
-    )
-    st = series_table(dense, ["n_events"])
+    st = series_table(_fixed16_grid(spark, sf_dir).drop("t"), ["n_events"])
     out = fourier_features_batched(st, "n_events", n=n, step=step)
     cols = [f"{stat}_{k}" for stat in ("fmean", "fstd", "fmedian") for k in range(n)]
     return out.select(
@@ -1890,6 +1870,142 @@ grid AS (
 )
 SELECT CAST(user_id AS VARCHAR) AS user_id, {stats}
 FROM banded GROUP BY user_id
+"""
+
+
+def _fixed16_grid(spark, sf_dir):
+    """The fixed-L=16 per-user grid (first 16 hourly buckets from each
+    user's own start, zero-filled) shared by the fourier_fixed16 and
+    discordance_fixed16 non-degenerate mirrors."""
+    L = _FOURIER_FIXED_L
+    b = (
+        _event_buckets(spark, sf_dir, "hour")
+        .select(F.col("user_id").cast("string").alias("conv_id"), "bucket", "n_events")
+    )
+    b0 = b.groupBy("conv_id").agg(F.min("bucket").alias("b0"))
+    grid = b0.select(
+        "conv_id",
+        "b0",
+        F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("t"),
+    ).select(
+        "conv_id",
+        "t",
+        (F.col("b0") + F.col("t") * F.expr("INTERVAL 1 HOUR")).alias("bucket"),
+    )
+    return grid.join(b, ["conv_id", "bucket"], "left").select(
+        "conv_id",
+        "t",
+        "bucket",
+        F.coalesce(F.col("n_events").cast("double"), F.lit(0.0)).alias("n_events"),
+    )
+
+
+_SQL_FIXED16_GRID = """
+WITH b AS ({buckets}),
+b0 AS (SELECT user_id, min(bucket) AS b0 FROM b GROUP BY user_id),
+grid AS (
+  SELECT user_id, b0, unnest(generate_series(0, 15)) AS t FROM b0
+), d AS (
+  SELECT g.user_id, g.t, coalesce(CAST(b.n_events AS DOUBLE), 0.0) AS v
+  FROM grid g LEFT JOIN b
+    ON b.user_id = g.user_id AND b.bucket = g.b0 + to_hours(g.t)
+)"""
+
+
+def q_discordance_fixed16(spark, sf_dir, n_lp=10):
+    """``discordance`` (ts.pyx:140-156) on NON-degenerate data — the second
+    fixed-L mirror: real spectra, real low-pass, real area curve, through
+    the REAL batched kernel (discordance_batched: complex128 FFT,
+    truncate-at-n, Re(ifft) per series; |ifft| area curve broadcast), over
+    the same fixed-16 cohort as fourier_fixed16.
+
+    SQL-expressibility: truncate-at-n ∘ FFT ∘ iFFT is a CIRCULANT linear
+    map, so with L fixed both the per-series low-pass and the area
+    transfer reduce to 16 precomputed constants c[dt] =
+    (1/L)·Σ_{{k<n}} e^{{2πik·dt/L}} — x_lp[t] = Σ_s x[s]·Re(c[t−s]) and the
+    area curve's complex pre-|·| parts are the same sums over the mean
+    curve.  Exactness chain: the zero-filled grid is INTEGER, so the mean
+    curve's f64 average is bit-identical across engines before its float32
+    cast; x_lp/area_lp round through float32 (f64 summation-order noise
+    ~1e5 below f32 resolution, the fourier_fixed16 argument); and the
+    final residual mean replicates numpy's float32 PAIRWISE summation tree
+    for n=16 (8 accumulators r[i]+r[i+8], pairwise combine, divide by 16 —
+    verified bitwise against np.mean on 20k random vectors) as nested
+    REAL-cast additions, so even the f32-accumulated reduction is
+    reproduced exactly, not approximated."""
+    import numpy as np
+
+    from .operators.series import discordance_batched, series_table
+
+    dense = _fixed16_grid(spark, sf_dir)
+    curve_rows = (
+        dense.groupBy("t")
+        .agg(F.avg(F.col("n_events").cast("float")).alias("mv"))
+        .orderBy("t")
+        .collect()
+    )
+    curve = np.asarray([r["mv"] for r in curve_rows], dtype=np.float32)
+    Y = np.fft.fft(curve)
+    Y[n_lp:] = 0.0
+    area_lp = np.abs(np.fft.ifft(Y)).astype(np.float32)
+    st = series_table(dense.drop("t"), ["n_events"])
+    out = discordance_batched(st, "n_events", area_lp, n=n_lp)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.round(F.col("discordance").cast("double"), 6).alias("discordance"),
+    )
+
+
+def _sql_discordance_fixed16(n_lp=10):
+    import numpy as np
+
+    L = _FOURIER_FIXED_L
+    # circulant transfer constants of truncate(n_lp) ∘ FFT ∘ iFFT
+    consts = []
+    for dt in range(L):
+        c = sum(np.exp(2j * np.pi * k * dt / L) for k in range(n_lp)) / L
+        consts.append((dt, float(c.real), float(c.imag)))
+    rows = ",\n    ".join(f"({dt}, {re!r}, {im!r})" for dt, re, im in consts)
+    # numpy float32 pairwise mean for n=16: acc_i = r_i + r_{i+8} (8 accs),
+    # pairwise combine, divide by 16 — every node explicitly rounded to REAL
+    acc = [f"CAST(r{i} + r{i + 8} AS REAL)" for i in range(8)]
+    p = [f"CAST({acc[2 * i]} + {acc[2 * i + 1]} AS REAL)" for i in range(4)]
+    q = [f"CAST({p[0]} + {p[1]} AS REAL)", f"CAST({p[2]} + {p[3]} AS REAL)"]
+    mean = f"CAST(CAST({q[0]} + {q[1]} AS REAL) / 16 AS REAL)"
+    rcols = ", ".join(
+        f"max(CASE WHEN t = {t} THEN r END) AS r{t}" for t in range(L)
+    )
+    grid = _SQL_FIXED16_GRID.format(buckets=_event_buckets_sql("hour"))
+    return f"""{grid}, consts(dt, cre, cim) AS (
+  VALUES
+    {rows}
+), ts16 AS (SELECT unnest(generate_series(0, {L - 1})) AS t),
+xbar AS (
+  -- integer grid ⇒ the f64 average is bit-identical across engines;
+  -- cast through float32 exactly as the kernel's curve ingestion does
+  SELECT t, CAST(CAST(avg(v) AS REAL) AS DOUBLE) AS mv FROM d GROUP BY t
+), area AS (
+  SELECT t2.t,
+         sum(x.mv * c.cre) AS are, sum(x.mv * c.cim) AS aim
+  FROM xbar x CROSS JOIN ts16 t2
+  JOIN consts c ON c.dt = ((t2.t - x.t) % {L} + {L}) % {L}
+  GROUP BY t2.t
+), alp AS (
+  SELECT t, CAST(sqrt(are * are + aim * aim) AS REAL) AS alp FROM area
+), xlp AS (
+  SELECT d2.user_id, t2.t, CAST(sum(d2.v * c.cre) AS REAL) AS xlp
+  FROM d d2 CROSS JOIN ts16 t2
+  JOIN consts c ON c.dt = ((t2.t - d2.t) % {L} + {L}) % {L}
+  GROUP BY 1, 2
+), resid AS (
+  SELECT x.user_id, x.t, CAST(x.xlp - a.alp AS REAL) AS r
+  FROM xlp x JOIN alp a USING (t)
+), wide AS (
+  SELECT user_id, {rcols} FROM resid GROUP BY user_id
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       round(CAST({mean} AS DOUBLE), 6) AS discordance
+FROM wide
 """
 
 
@@ -2486,7 +2602,6 @@ def queries():
         "mad_vs_centroid": q_mad_vs_centroid,
         "sessionize": q_sessionize,
         "session_concurrency": q_session_concurrency,
-        "topk_users": q_topk_users,
         "events_pivot": q_events_pivot,
         "events_rollup_totals": q_events_rollup_totals,
         "pricing_summary": q_pricing_summary,
@@ -2516,6 +2631,7 @@ def queries():
         "dtw_diag_path": q_dtw_diag_path,
         "symmetry_vs_median": q_symmetry_vs_median,
         "discordance_lp_identity": q_discordance_lp_identity,
+        "discordance_fixed16": q_discordance_fixed16,
         "fourier_const_bands": q_fourier_const_bands,
         "fourier_fixed16": q_fourier_fixed16,
         "number_peaks_w1": q_number_peaks_w1,
@@ -2539,6 +2655,7 @@ def bench_only_queries():
     still benched every round so per-query perf history stays comparable."""
     return {
         "rollup_1d_cascade": q_rollup_1d_cascade,
+        "topk_users": q_topk_users,
         "gapfill_locf": q_gapfill_locf,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "dtw_area": q_dtw_area,
@@ -2588,6 +2705,7 @@ def oracles():
         "dtw_diag_path": _sql_dtw_diag_path(),
         "symmetry_vs_median": _sql_symmetry_vs_median(),
         "discordance_lp_identity": _sql_discordance_lp_identity(),
+        "discordance_fixed16": _sql_discordance_fixed16(),
         "fourier_const_bands": _sql_fourier_const_bands(),
         "fourier_fixed16": _sql_fourier_fixed16(),
         "number_peaks_w1": _sql_number_peaks_w1(),
