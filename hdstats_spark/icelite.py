@@ -419,6 +419,23 @@ class IceliteTable:
                     raise TimeoutError(f"commit token busy: {token}")
                 time.sleep(0.005)
 
+    def _lock_still_owned(self, handle) -> bool:
+        """True if this process still owns the exclusion the handle claims.
+        flock: the kernel guarantees it while the fd is open.  token: the
+        lease can have been stolen (staleness misjudged, or the documented
+        steal/restore race) — re-read the token and compare owners.
+        "none": the caller opted out of exclusion; nothing to verify."""
+        if handle[0] != "token":
+            return True
+        _, token, owner, hb = handle
+        if hb.lost:
+            return False
+        try:
+            with open(token) as f:
+                return json.load(f).get("owner") == owner
+        except (OSError, json.JSONDecodeError):
+            return False
+
     def _release_lock(self, handle) -> None:
         if handle[0] == "none":
             return
@@ -475,10 +492,38 @@ class IceliteTable:
             lineage=lineage or {},
         )
 
+    TORN_GEN_STALENESS = 5.0  # seconds before an empty gen file is reclaimable
+
+    def _reclaim_torn_gen(self, seq: int) -> bool:
+        """True if gen-<seq> was a torn publish (EMPTY — possible only from
+        a pre-link-protocol crash between create and write) older than the
+        staleness bound, now unlinked so the caller may retry its CAS.
+        A non-empty gen file is a real committed generation: never touched."""
+        path = self._gen_path(seq)
+        try:
+            st = os.stat(path)
+            if st.st_size > 0 or (time.time() - st.st_mtime) < self.TORN_GEN_STALENESS:
+                return False
+            os.unlink(path)
+            return True
+        except (FileNotFoundError, OSError):
+            return False
+
+    def _drop_commit_tmp(self, gtmp: str, snap: Snapshot) -> None:
+        """Lost the generation race: our snapshot JSON was never referenced —
+        remove it and the tmp so retries don't accumulate orphans."""
+        for p in (gtmp, self._snapshot_path(snap.snapshot_id)):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+
     def _commit(self, snap: Snapshot, expected_parent: str | None) -> Snapshot:
         """Optimistic-concurrency commit.  What DECIDES the commit is a
-        PUT-IF-ABSENT of the generation file `gen-<seq>` (O_EXCL create —
-        the Delta-Lake/S3-If-None-Match protocol): two writers deriving
+        PUT-IF-ABSENT of the generation file `gen-<seq>` (atomic hard-link
+        publish: link(2) fails EEXIST exactly like O_EXCL, but the visible
+        file is complete-with-content — the Delta-Lake/S3-If-None-Match
+        protocol): two writers deriving
         children of the same parent compute the same seq, exactly one
         O_EXCL create succeeds, the loser gets CommitConflict and retries
         metadata-only.  This is atomic on any store with a conditional
@@ -504,22 +549,45 @@ class IceliteTable:
             snap.committed_at = time.time()
             with open(self._snapshot_path(snap.snapshot_id), "w") as f:
                 json.dump(snap.to_json(), f, indent=2, default=str)
+            # Publish the generation file ATOMICALLY WITH ITS CONTENT: write
+            # the sid to a private tmp, then hard-link it to gen-<seq> —
+            # link(2) fails with EEXIST exactly like O_EXCL, but the file
+            # that becomes visible is always complete.  The previous
+            # create-then-write left a window (crash / ENOSPC between the
+            # two) that published an EMPTY gen file with no reclamation
+            # path: every later writer derived the same seq, hit
+            # FileExistsError forever, and the table was write-wedged —
+            # while a torn sid crashed readers in _load_raw.
+            gtmp = os.path.join(self.meta_dir, f".gen.{snap.snapshot_id}")
+            with open(gtmp, "w") as f:
+                f.write(snap.snapshot_id)
+                f.flush()
+                os.fsync(f.fileno())
             try:
-                gfd = os.open(
-                    self._gen_path(snap.seq), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
+                os.link(gtmp, self._gen_path(snap.seq))
             except FileExistsError:
-                # lost the generation race: our snapshot JSON was never
-                # referenced — remove the orphan and let the caller retry
+                # lost the generation race — UNLESS the existing file is a
+                # legacy torn/empty publish (pre-link-era crash): those are
+                # unreadable garbage nobody references, so reclaim after a
+                # staleness bound instead of wedging the table forever.
+                if self._reclaim_torn_gen(snap.seq):
+                    try:
+                        os.link(gtmp, self._gen_path(snap.seq))
+                    except (FileExistsError, OSError):
+                        self._drop_commit_tmp(gtmp, snap)
+                        raise CommitConflict(
+                            f"generation {snap.seq} already committed by another writer"
+                        )
+                else:
+                    self._drop_commit_tmp(gtmp, snap)
+                    raise CommitConflict(
+                        f"generation {snap.seq} already committed by another writer"
+                    )
+            finally:
                 try:
-                    os.unlink(self._snapshot_path(snap.snapshot_id))
+                    os.unlink(gtmp)
                 except FileNotFoundError:
                     pass
-                raise CommitConflict(
-                    f"generation {snap.seq} already committed by another writer"
-                )
-            with os.fdopen(gfd, "w") as f:
-                f.write(snap.snapshot_id)
             tmp = os.path.join(self.meta_dir, f".current.{snap.snapshot_id}")
             with open(tmp, "w") as f:
                 f.write(f"{snap.snapshot_id} {snap.seq}")
@@ -825,6 +893,19 @@ class IceliteTable:
             for s in expired:
                 for m in s.partitions.values():
                     dead_files.update(f for f in m["files"] if f not in live_files)
+            # destructive phase begins: commits self-serialize via the gen
+            # CAS, but GC relies on the LOCK for exclusion — and the token
+            # lease's steal/restore dance has a narrow dual-holder window
+            # (a waiter's create+write+validate completing entirely inside
+            # a stealer's rename→stat→restore).  Re-verify ownership at the
+            # last possible moment so a lease lost mid-computation aborts
+            # before anything is unlinked (the object-store analogue is a
+            # conditional delete; this is its filesystem emulation).
+            if not self._lock_still_owned(fd):
+                raise RuntimeError(
+                    "commit lock ownership lost during expire_snapshots "
+                    "scan; aborting before destructive GC"
+                )
             for f in dead_files:
                 path = f if os.path.isabs(f) else os.path.join(self.root, f)
                 try:

@@ -22,6 +22,8 @@ is the standard guard against quadratic blowup on 10^12-scale corpora.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -37,19 +39,26 @@ _ONE_U64 = np.uint64(1)
 # (bench loops, the query registry) the blocks would otherwise accumulate
 # for the session lifetime, so each new call unpersists its predecessor's.
 # A caller that keeps the returned LAZY DataFrame across a later call simply
-# recomputes without the cache — correct, just slower.
+# recomputes without the cache — correct, just slower.  The same applies to
+# INTERLEAVED invocations from concurrent driver threads: the registry swap
+# itself is lock-guarded (no lost/doubly-unpersisted entries), but a second
+# same-key call unpersists the first call's cache while its job may still
+# be running — Spark degrades that to recompute, never wrong results.
+# Serial operator invocation per key is the assumed (and benched) mode.
 _live_caches: dict[str, DataFrame] = {}
+_live_caches_lock = threading.Lock()
 
 
 def _swap_cache(key: str, df: DataFrame) -> DataFrame:
-    prev = _live_caches.get(key)
-    if prev is not None:
+    out = df.cache()
+    with _live_caches_lock:
+        prev = _live_caches.get(key)
+        _live_caches[key] = out
+    if prev is not None and prev is not out:
         try:
             prev.unpersist()
         except Exception:
             pass  # predecessor belonged to a since-stopped SparkSession
-    out = df.cache()
-    _live_caches[key] = out
     return out
 
 

@@ -21,9 +21,9 @@ from pyspark.sql import functions as F
 from ..operators.channels import channelize
 from ..schema import TRANSCRIPT_SCHEMA
 
-# previous streaming_decontaminate dirty-set broadcast (lifecycle: swapped
-# out per call, see that function)
-_last_dirty_broadcast = None
+# streaming_decontaminate dirty-set broadcasts, keyed per stream identity
+# (lifecycle: swapped out per same-key call, see that function)
+_dirty_broadcasts: dict[tuple, object] = {}
 
 
 def stream_transcripts_from_dir(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
@@ -697,19 +697,23 @@ def streaming_decontaminate(
         .collect()
     )
     dirty = frozenset(r["s"] for r in dirty_rows)
-    # swap out the previous call's broadcast (same lifecycle discipline as
-    # dedup._swap_cache): repeated calls in a long-lived driver would
-    # otherwise pin every dirty set for the session lifetime.  A stream
-    # still running on the old broadcast recomputes nothing — destroy() is
-    # deferred blocking-free and the stream holds its own reference.
-    global _last_dirty_broadcast
-    if _last_dirty_broadcast is not None:
+    # swap out the previous call's broadcast PER STREAM KEY (same lifecycle
+    # discipline as dedup._swap_cache): repeated calls in a long-lived
+    # driver would otherwise pin every dirty set for the session lifetime.
+    # unpersist() (NOT destroy()) only evicts executor-side copies — a
+    # still-running stream that lost its blocks re-fetches the value from
+    # the driver, so correctness is unaffected; keying by the stream's
+    # logical identity means two CONCURRENT decontamination streams never
+    # evict each other's hot copies either.
+    key = (id_col, text_col, ts_col, n)
+    prev = _dirty_broadcasts.pop(key, None)
+    if prev is not None:
         try:
-            _last_dirty_broadcast.unpersist()
+            prev.unpersist()
         except Exception:
             pass  # previous broadcast belonged to a stopped SparkContext
     b = doc_stream.sparkSession.sparkContext.broadcast(dirty)
-    _last_dirty_broadcast = b
+    _dirty_broadcasts[key] = b
 
     shingled = doc_stream.select(
         id_col, ts_col, shingles_col(n, text_col).alias("_sh")

@@ -636,3 +636,41 @@ def test_icelite_gen_cas_conflict_without_lock(tmp_path):
     assert t.current_snapshot_id() == c1.snapshot_id
     # the loser's snapshot JSON was cleaned up — no orphan metadata
     assert not os.path.exists(t2._snapshot_path(c2.snapshot_id))
+
+
+def test_icelite_gen_publish_atomic_and_torn_gen_reclaimed(tmp_path):
+    """r6 advice fix: the generation file is published via hard-link (atomic
+    with content — never visible empty), and a LEGACY torn publish (empty
+    gen file from a pre-link-era crash between create and write) is
+    reclaimed after the staleness bound instead of write-wedging the table
+    forever."""
+    import os
+    import time as _time
+
+    from hdstats_spark.icelite import CommitConflict
+
+    t = IceliteTable(str(tmp_path / "torn"), lock="none")
+    s1 = t._commit_delta("append", "append", {"p": {"files": ["a.parquet"], "rows": 1}}, None)
+    # every published gen file carries its sid (atomic-with-content)
+    with open(t._gen_path(1)) as f:
+        assert f.read().strip() == s1.snapshot_id
+    # plant a legacy torn publish at the next generation
+    torn = t._gen_path(2)
+    open(torn, "w").close()
+    # fresh torn file: NOT reclaimable yet -> commit conflicts (no unlink)
+    prev = t.snapshot()
+    c = t._next_snapshot(prev, "append", "append", {"p": {"files": ["b.parquet"], "rows": 1}}, None)
+    with pytest.raises(CommitConflict):
+        t._commit(c, expected_parent=prev.snapshot_id)
+    assert os.path.exists(torn)
+    # readers skip the empty gen and stay on s1
+    assert IceliteTable(t.root, lock="none").current_snapshot_id() == s1.snapshot_id
+    # age it past the staleness bound: the CAS reclaims and the commit lands
+    old = _time.time() - t.TORN_GEN_STALENESS - 1
+    os.utime(torn, (old, old))
+    s2 = t._commit_delta("append", "append", {"p": {"files": ["b.parquet"], "rows": 1}}, None)
+    assert s2.seq == 2 and t.current_snapshot_id() == s2.snapshot_id
+    with open(t._gen_path(2)) as f:
+        assert f.read().strip() == s2.snapshot_id
+    # no stray tmp files left in the metadata dir
+    assert not [p for p in os.listdir(t.meta_dir) if p.startswith(".gen.")]
