@@ -66,6 +66,10 @@ class Snapshot:
     seq: int = 1  # chain depth from the root commit
     lineage: dict = field(default_factory=dict)
     committed_at: float = 0.0
+    # snapshot format version: 1 = {files, rows} manifests, 2 = adds
+    # per-file column min/max under "stats" (readers of either version
+    # accept the other — a missing stat just disables file skipping)
+    fmt: int = 2
 
     def to_json(self) -> dict:
         d = dict(self.__dict__)
@@ -82,15 +86,132 @@ def _apply_delta(base: dict, delta: dict) -> dict:
     if delta["mode"] == "append":
         for value, m in parts.items():
             if value in out:
-                out[value] = {
-                    "files": out[value]["files"] + m["files"],
-                    "rows": out[value]["rows"] + m["rows"],
+                prev = out[value]
+                merged = {
+                    "files": prev["files"] + m["files"],
+                    "rows": prev["rows"] + m["rows"],
                 }
+                if "stats" in prev or "stats" in m:
+                    # per-file stats stay aligned with files; a side written
+                    # by a pre-fmt-2 writer contributes None entries (those
+                    # files are simply never skipped)
+                    merged["stats"] = (
+                        prev.get("stats") or [None] * len(prev["files"])
+                    ) + (m.get("stats") or [None] * len(m["files"]))
+                out[value] = merged
             else:
                 out[value] = m
     else:  # replace: the commit's partitions point at the new files only
         out.update(parts)
     return out
+
+
+def _stat_scalar(v, max_str: int = 64):
+    """Normalize one min/max value to a JSON-safe, totally-ordered scalar —
+    the SAME function encodes writer-side footer stats and reader-side
+    predicate values, so comparisons are always like-for-like.  Returns
+    None for values that can't be encoded order-faithfully (those columns
+    simply never skip a file — conservative by construction)."""
+    import datetime
+
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        return v if len(v) <= max_str else None
+    if isinstance(v, bytes):
+        return None
+    # timestamps/dates → epoch seconds; naive values are treated as UTC on
+    # BOTH sides (Spark writes UTC-normalized parquet timestamps)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return v.timestamp()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day, tzinfo=datetime.timezone.utc).timestamp()
+    item = getattr(v, "item", None)  # numpy scalars
+    if item is not None:
+        return _stat_scalar(item(), max_str)
+    return None
+
+
+def _file_stats(pf, cols: list[str], max_str: int = 64) -> dict:
+    """Per-column [min, max] for one parquet file from its FOOTER row-group
+    statistics (metadata-only — the footer is already being read for row
+    counts).  Parquet truncation keeps stored min ≤ true min and stored
+    max ≥ true max (BinaryTruncator increments on truncate), so the bounds
+    stay conservative.  A column missing stats in ANY row group gets no
+    entry (readers then never skip on it)."""
+    md = pf.metadata
+    name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        j = name_to_idx.get(c)
+        if j is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _stat_scalar(st.min, max_str), _stat_scalar(st.max, max_str)
+            if mn is None or mx is None or type(mn) is not type(mx):
+                ok = False
+                break
+            if lo is None:
+                lo, hi = mn, mx
+            elif type(mn) is not type(lo):
+                ok = False
+                break
+            else:
+                lo, hi = min(lo, mn), max(hi, mx)
+        if ok and lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
+def _auto_stats_cols(pf, cap: int) -> list[str]:
+    """Schema-order orderable primitive columns (fmt-2 auto selection)."""
+    import pyarrow as pa
+
+    cols = []
+    for f in pf.schema_arrow:
+        t = f.type
+        if (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+        ):
+            cols.append(f.name)
+        if len(cols) >= cap:
+            break
+    return cols
+
+
+def _ranges_disjoint(lo, hi, op: str, args: tuple) -> bool:
+    """True iff a file whose column spans [lo, hi] can PROVABLY not satisfy
+    the predicate — the only case that may skip the file."""
+    if op == "=":
+        return args[0] < lo or args[0] > hi
+    if op == "<":
+        return lo >= args[0]
+    if op == "<=":
+        return lo > args[0]
+    if op == ">":
+        return hi <= args[0]
+    if op == ">=":
+        return hi < args[0]
+    if op == "between":
+        return args[1] < lo or args[0] > hi
+    if op == "in":
+        return all(a < lo or a > hi for a in args[0])
+    raise ValueError(f"unknown predicate op {op!r}")
 
 
 class _Heartbeat(threading.Thread):
@@ -138,10 +259,22 @@ class IceliteTable:
     # commits persist only their delta (Iceberg: manifest list + manifests)
     CHECKPOINT_EVERY = 64
 
-    def __init__(self, root: str, lock: str | None = None):
+    # per-file column statistics (snapshot fmt 2): min/max recorded for at
+    # most this many columns per table (schema order), strings longer than
+    # STATS_MAX_STR get no stat (parquet truncation bounds stay conservative
+    # through the footer, but unbounded blobs would bloat the manifest)
+    STATS_MAX_COLS = 16
+    STATS_MAX_STR = 64
+
+    def __init__(self, root: str, lock: str | None = None, stats_cols: list[str] | None = None):
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
+        # which columns get per-file min/max in the manifest: None = auto
+        # (every orderable primitive column, first STATS_MAX_COLS in schema
+        # order).  Like Iceberg's write.metadata.metrics config, this is a
+        # WRITER property; readers treat a missing stat as "never skip".
+        self.stats_cols = stats_cols
         # commit-lock mode: "flock" (POSIX fast path), "token" (portable
         # O_EXCL lease — the only protocol an object store can emulate), or
         # "auto" (flock when the platform has it).  Per-catalog config: all
@@ -202,6 +335,7 @@ class IceliteTable:
         d.setdefault("delta", None)
         d.setdefault("kind", "checkpoint" if d.get("partitions") is not None else "delta")
         d.setdefault("seq", 1)
+        d.setdefault("fmt", 1)  # pre-stats metadata: no per-file min/max
         return Snapshot(**d)
 
     def _resolve(self, snap: Snapshot) -> Snapshot:
@@ -619,6 +753,14 @@ class IceliteTable:
 
     # ------------------------------------------------------------- write
 
+    def _resolve_stats_cols(self, pf) -> list[str]:
+        """The columns this writer records per-file min/max for: explicit
+        ``stats_cols`` if configured, else auto (orderable primitives in
+        schema order, capped)."""
+        if self.stats_cols is not None:
+            return list(self.stats_cols)
+        return _auto_stats_cols(pf, self.STATS_MAX_COLS)
+
     def _write_partition_files(
         self, df: DataFrame, partition_col: str | None, cluster: str = "roundrobin"
     ) -> dict:
@@ -637,12 +779,16 @@ class IceliteTable:
                 for name in os.listdir(commit_dir)
                 if name.endswith(".parquet")
             ]
-            # row counts from the parquet FOOTERS just written — metadata-only
-            # reads, no second Spark scan of fresh data (the partitioned path
-            # below already proved footers suffice)
-            rows = int(sum(pq.ParquetFile(p).metadata.num_rows for p in paths))
+            # row counts AND per-file column min/max from the parquet
+            # FOOTERS just written — metadata-only reads, no second Spark
+            # scan of fresh data (the partitioned path below already proved
+            # footers suffice)
+            pfs = [pq.ParquetFile(p) for p in paths]
+            scols = self._resolve_stats_cols(pfs[0]) if pfs else []
+            rows = int(sum(pf.metadata.num_rows for pf in pfs))
             files = [os.path.relpath(p, self.root) for p in paths]
-            return {"__all__": {"files": files, "rows": rows}}
+            stats = [_file_stats(pf, scols, self.STATS_MAX_STR) for pf in pfs]
+            return {"__all__": {"files": files, "rows": rows, "stats": stats}}
         # write clustering tradeoff:
         #   asis — NO extra exchange: write straight from the caller's
         #     partitioning (the co-partitioned tier plan arrives hash-
@@ -688,17 +834,30 @@ class IceliteTable:
                 os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
             ]
         all_files = [f for fs in part_files.values() for f in fs]
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            counts = dict(
-                zip(all_files, ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, all_files))
+        scols_box: list[list[str] | None] = [None]
+        scols_lock = threading.Lock()
+
+        def footer(p):
+            pf = pq.ParquetFile(p)
+            with scols_lock:
+                if scols_box[0] is None:
+                    scols_box[0] = self._resolve_stats_cols(pf)
+            return (
+                pf.metadata.num_rows,
+                _file_stats(pf, scols_box[0], self.STATS_MAX_STR),
             )
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            meta = dict(zip(all_files, ex.map(footer, all_files)))
         manifest = {}
         for value, fs in part_files.items():
             manifest[value] = {
                 # manifest paths are TABLE-ROOT-RELATIVE so a table directory
                 # can be relocated wholesale
                 "files": [os.path.relpath(f, self.root) for f in fs],
-                "rows": int(sum(counts[f] for f in fs)),
+                "rows": int(sum(meta[f][0] for f in fs)),
+                # per-file column min/max, aligned with `files` (fmt 2)
+                "stats": [meta[f][1] for f in fs],
             }
         self.last_write_timings = {
             "write_s": round(t_written - t_start, 2),
@@ -708,9 +867,13 @@ class IceliteTable:
         return manifest
 
     def append(
-        self, df: DataFrame, partition_col: str | None = None, lineage: dict | None = None
+        self,
+        df: DataFrame,
+        partition_col: str | None = None,
+        lineage: dict | None = None,
+        cluster: str = "roundrobin",
     ) -> Snapshot:
-        new = self._write_partition_files(df, partition_col)
+        new = self._write_partition_files(df, partition_col, cluster)
         return self._commit_delta("append", "append", new, lineage)
 
     def overwrite_partitions(
@@ -732,23 +895,102 @@ class IceliteTable:
         spark: SparkSession,
         snapshot_id: str | None = None,
         partitions: list[str] | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
         """Read a snapshot (default: current), optionally pruned to given
         partition values — manifest-level partition pruning, so Spark never
-        even lists the skipped files."""
+        even lists the skipped files.
+
+        ``where`` adds FILE-LEVEL skipping from the fmt-2 per-file column
+        min/max (the icelite analogue of Iceberg's metrics-based scan
+        planning): ``{col: ("=", v) | ("<"|"<="|">"|">=", v) |
+        ("between", lo, hi) | ("in", [v, ...])}``.  A file is dropped only
+        when its recorded range PROVABLY excludes the predicate; files or
+        columns without stats are always read.  The same predicates are
+        ALSO applied as Spark filters, so ``where`` has exact filter
+        semantics with scan-planning acceleration — on a 100-TB table a
+        point lookup (one conv_id, one hour) touches the few files whose
+        range covers it instead of every file of the matching day.
+        ``self.last_scan`` records (files_considered, files_read) for plan
+        assertions and the bench harness."""
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"no snapshot in {self.root}")
+        preds = None
+        if where:
+            preds = {}
+            for col, spec in where.items():
+                op, *args = spec
+                if op in ("in",):
+                    norm = [_stat_scalar(a, self.STATS_MAX_STR) for a in args[0]]
+                    preds[col] = (op, (norm,)) if all(n is not None for n in norm) else None
+                else:
+                    norm = tuple(_stat_scalar(a, self.STATS_MAX_STR) for a in args)
+                    preds[col] = (op, norm) if all(n is not None for n in norm) else None
         files = []
+        considered = 0
         for value, m in snap.partitions.items():
-            if partitions is None or value in partitions:
-                files.extend(
-                    f if os.path.isabs(f) else os.path.join(self.root, f)
-                    for f in m["files"]
-                )
+            if partitions is not None and value not in partitions:
+                continue
+            stats = m.get("stats") or [None] * len(m["files"])
+            for f, fst in zip(m["files"], stats):
+                considered += 1
+                if preds and fst and self._file_pruned(fst, preds):
+                    continue
+                files.append(f if os.path.isabs(f) else os.path.join(self.root, f))
+        self.last_scan = {"files_considered": considered, "files_read": len(files)}
         if not files:
+            if where:
+                # every file provably excluded: an empty scan with the
+                # TARGET SCHEMA (read one pruned file's footer schema via
+                # Spark would defeat the point; empty relation from any
+                # file with a LIMIT 0 keeps the schema without row I/O)
+                any_m = next(iter(snap.partitions.values()))
+                probe = any_m["files"][0]
+                probe = probe if os.path.isabs(probe) else os.path.join(self.root, probe)
+                empty = spark.read.parquet(probe).limit(0)
+                return self._apply_where(empty, where)
             raise ValueError("no files match the partition filter")
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        return self._apply_where(df, where) if where else df
+
+    @staticmethod
+    def _file_pruned(fstats: dict, preds: dict) -> bool:
+        """True iff ANY normalized predicate provably excludes this file."""
+        for col, p in preds.items():
+            if p is None:
+                continue
+            rng = fstats.get(col)
+            if not rng:
+                continue
+            lo, hi = rng
+            op, args = p
+            probe = args[0][0] if op == "in" else args[0]
+            if type(probe) is not type(lo):
+                continue  # incomparable encoding — never skip on it
+            if _ranges_disjoint(lo, hi, op, args):
+                return True
+        return False
+
+    @staticmethod
+    def _apply_where(df: DataFrame, where: dict) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for col, spec in where.items():
+            op, *args = spec
+            c = F.col(col)
+            df = df.filter(
+                {
+                    "=": lambda: c == args[0],
+                    "<": lambda: c < args[0],
+                    "<=": lambda: c <= args[0],
+                    ">": lambda: c > args[0],
+                    ">=": lambda: c >= args[0],
+                    "between": lambda: c.between(args[0], args[1]),
+                    "in": lambda: c.isin(list(args[0])),
+                }[op]()
+            )
+        return df
 
     def committed_partitions(self) -> set[str]:
         snap = self.snapshot()
@@ -798,7 +1040,8 @@ class IceliteTable:
             for n in os.listdir(commit_dir)
             if n.endswith(".parquet")
         ]
-        rows = int(sum(pq.ParquetFile(p).metadata.num_rows for p in paths))
+        pfs = [pq.ParquetFile(p) for p in paths]
+        rows = int(sum(pf.metadata.num_rows for pf in pfs))
         if rows != original["rows"]:
             # a writer touched the partition between snapshot() and read()
             # (the rewrite saw more/fewer rows than the manifest this
@@ -806,9 +1049,11 @@ class IceliteTable:
             # manifest check below; never an exception in the sink path
             shutil.rmtree(commit_dir, ignore_errors=True)
             return None
+        scols = self._resolve_stats_cols(pfs[0]) if pfs else []
         new_manifest = {
             "files": [os.path.relpath(p, self.root) for p in paths],
             "rows": rows,
+            "stats": [_file_stats(pf, scols, self.STATS_MAX_STR) for pf in pfs],
         }
         try:
             for _ in range(20):

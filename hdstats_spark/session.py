@@ -36,6 +36,11 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros, not legacy INT96: INT96 timestamps carry NO parquet
+        # min/max statistics, which would blind icelite's fmt-2 file
+        # skipping (and every other engine's row-group pruning) on the ONE
+        # column a timeseries tier is most often filtered by
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

@@ -674,3 +674,101 @@ def test_icelite_gen_publish_atomic_and_torn_gen_reclaimed(tmp_path):
         assert f.read().strip() == s2.snapshot_id
     # no stray tmp files left in the metadata dir
     assert not [p for p in os.listdir(t.meta_dir) if p.startswith(".gen.")]
+
+
+def test_icelite_file_stats_skipping(spark, tmp_path):
+    """fmt-2 manifests carry per-file column min/max and read(where=...)
+    skips files whose range provably misses the predicate — the Iceberg
+    metrics-based scan planning the r5 verdict flagged as the biggest
+    remaining 100-TB scan-cost gap: a point query (one conv_id / one hour)
+    must read strictly fewer files than the matching partition holds."""
+    import datetime
+
+    t = IceliteTable(str(tmp_path / "stats"))
+    # 4 commits into ONE day partition, each with a disjoint conv_id and
+    # hour range -> 4+ files whose stats tile the key space
+    base = datetime.datetime(2024, 3, 1)
+    for i in range(4):
+        rows = [
+            (
+                f"conv{i}_{j}",
+                base + datetime.timedelta(hours=6 * i, minutes=j),
+                float(100 * i + j),
+                "2024-03-01",
+            )
+            for j in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["conv_id", "ts", "v", "day"])
+        t.append(df, "day", cluster="bypart")  # one file per commit
+    snap = t.snapshot()
+    assert snap.fmt == 2
+    m = snap.partitions["2024-03-01"]
+    assert len(m["stats"]) == len(m["files"]) >= 4
+    assert all(st.get("conv_id") and st.get("ts") and st.get("v") for st in m["stats"])
+
+    # numeric range predicate: only commit 2's files span v in [200, 209]
+    out = t.read(spark, where={"v": ("between", 200.0, 209.0)})
+    assert t.last_scan["files_read"] < t.last_scan["files_considered"]
+    assert out.count() == 10
+
+    # string point lookup
+    out = t.read(spark, where={"conv_id": ("=", "conv3_5")})
+    assert t.last_scan["files_read"] == 1
+    assert out.count() == 1
+
+    # timestamp hour window: one 6-hour commit matches
+    lo = base + datetime.timedelta(hours=12)
+    out = t.read(spark, where={"ts": ("between", lo, lo + datetime.timedelta(minutes=59))})
+    assert t.last_scan["files_read"] == 1
+    assert out.count() == 10
+
+    # predicate provably excluding EVERY file: empty result, schema intact
+    out = t.read(spark, where={"v": (">", 1e9)})
+    assert t.last_scan["files_read"] == 0
+    # same schema as a normal icelite read (partition col lives in the
+    # manifest key, not the data files)
+    assert out.count() == 0 and out.columns == ["conv_id", "ts", "v"]
+
+    # skipping composes with manifest-level partition pruning
+    out = t.read(spark, partitions=["2024-03-01"], where={"v": ("<", 5.0)})
+    assert t.last_scan["files_read"] == 1 and out.count() == 5
+
+
+def test_icelite_fmt1_manifests_still_read_and_merge(spark, tmp_path):
+    """Pre-stats (fmt-1) metadata interops: snapshots load with fmt=1,
+    where= never skips stat-less files (correctness over pruning), and an
+    append merging fmt-1 + fmt-2 entries pads the stats list."""
+    t = IceliteTable(str(tmp_path / "fmt1"))
+    df = spark.createDataFrame([(1, "a"), (2, "a")], ["id", "day"])
+    t.append(df, "day")
+    # strip the stats + fmt from the stored snapshot (simulate a v1 writer)
+    import json as _json
+    import os as _os
+
+    sid = t.current_snapshot_id()
+    path = t._snapshot_path(sid)
+    with open(path) as f:
+        d = _json.load(f)
+    d.pop("fmt")
+    for m in d["partitions"].values():
+        m.pop("stats")
+    d["delta"] = {"mode": "append", "parts": d["partitions"]}
+    with open(path, "w") as f:
+        _json.dump(f.__class__ and d, f, default=str)
+    t2 = IceliteTable(t.root)
+    snap = t2.snapshot()
+    assert snap.fmt == 1
+    # stat-less files are never skipped, but the filter still applies
+    out = t2.read(spark, where={"id": ("=", 2)})
+    assert t2.last_scan["files_read"] == t2.last_scan["files_considered"]
+    assert out.count() == 1
+    # fmt-2 append on top: merged manifest pads missing stats with None
+    t2.append(spark.createDataFrame([(3, "a")], ["id", "day"]), "day")
+    m = t2.snapshot().partitions["a"]
+    assert len(m["stats"]) == len(m["files"])
+    assert m["stats"][0] is None and m["stats"][-1] is not None
+    out = t2.read(spark, where={"id": ("=", 1)})
+    # the padded (None) entries are always read; the fmt-2 file whose range
+    # [3, 3] provably misses id=1 is the one that gets skipped
+    assert t2.last_scan["files_read"] == t2.last_scan["files_considered"] - 1
+    assert out.count() == 1
