@@ -51,6 +51,37 @@ class CommitConflict(RuntimeError):
     analogue of Iceberg's CommitFailedException (callers retry the merge)."""
 
 
+class SchemaEvolutionError(RuntimeError):
+    """A write's schema is incompatible with the table schema (same-name
+    column with a different type).  Compatible evolution — NEW columns —
+    is applied automatically; a long-lived tier table gains channels over
+    its lifetime and must not need a rewrite for each one."""
+
+
+def _evolve_schema(cur: dict | None, new_fields: list[dict], op: str) -> dict | None:
+    """Merge a write's data-column fields into the table schema (both in
+    StructType.jsonValue() form).  Unknown columns append (add-column
+    evolution); a same-name column whose TYPE differs raises; columns the
+    write omits stay in the schema (its files simply lack them and readers
+    NULL-backfill).  Field order is the table's historical order — readers
+    of every snapshot see a stable column layout."""
+    if cur is None:
+        return {"type": "struct", "fields": list(new_fields)} if new_fields else None
+    by_name = {f["name"]: f for f in cur["fields"]}
+    out = list(cur["fields"])
+    for f in new_fields:
+        have = by_name.get(f["name"])
+        if have is None:
+            out.append(f)
+        elif have["type"] != f["type"]:
+            raise SchemaEvolutionError(
+                f"{op}: column {f['name']!r} has type {f['type']!r} but the "
+                f"table schema says {have['type']!r}; icelite evolves by "
+                "ADD-COLUMN only — rewrite the table to change a type"
+            )
+    return {"type": "struct", "fields": out}
+
+
 @dataclass
 class Snapshot:
     snapshot_id: str
@@ -70,6 +101,12 @@ class Snapshot:
     # per-file column min/max under "stats" (readers of either version
     # accept the other — a missing stat just disables file skipping)
     fmt: int = 2
+    # table schema AS OF this snapshot (StructType.jsonValue(), data
+    # columns only — the partition column lives in the manifest keys).
+    # Versioned per snapshot so time travel reads each snapshot under the
+    # schema it was committed with; None on pre-evolution metadata (readers
+    # then take the files' own schema, today's behavior)
+    schema: dict | None = None
 
     def to_json(self) -> dict:
         d = dict(self.__dict__)
@@ -104,6 +141,17 @@ def _apply_delta(base: dict, delta: dict) -> dict:
     else:  # replace: the commit's partitions point at the new files only
         out.update(parts)
     return out
+
+
+def _data_fields(df: DataFrame, partition_col: str | None) -> list[dict]:
+    """The write's DATA-column schema fields (partition col excluded — it
+    lives in directory names / manifest keys, not the files), in
+    StructType.jsonValue() form.  Writers evolving a schema must also
+    validate BEFORE writing data files, so an incompatible type change
+    fails fast instead of after a full Spark write."""
+    return [
+        f.jsonValue() for f in df.schema.fields if f.name != partition_col
+    ]
 
 
 def _stat_scalar(v, max_str: int = 64):
@@ -145,7 +193,11 @@ def _file_stats(pf, cols: list[str], max_str: int = 64) -> dict:
     entry (readers then never skip on it)."""
     md = pf.metadata
     name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
-    out = {}
+    # the file's own leaf columns: a file written BEFORE an add-column
+    # evolution reads as all-NULL for the new column, so any =/</>/between
+    # predicate on it provably excludes the file — but only if the reader
+    # can distinguish "column absent" from "stats not collected"
+    out = {"__cols__": sorted(name_to_idx)}
     for c in cols:
         j = name_to_idx.get(c)
         if j is None:
@@ -336,6 +388,7 @@ class IceliteTable:
         d.setdefault("kind", "checkpoint" if d.get("partitions") is not None else "delta")
         d.setdefault("seq", 1)
         d.setdefault("fmt", 1)  # pre-stats metadata: no per-file min/max
+        d.setdefault("schema", None)  # pre-evolution metadata: files' own
         return Snapshot(**d)
 
     def _resolve(self, snap: Snapshot) -> Snapshot:
@@ -607,10 +660,12 @@ class IceliteTable:
         mode: str,
         parts: dict,
         lineage: dict | None,
+        schema: dict | None = None,
     ) -> Snapshot:
         """Build the child snapshot of ``prev`` for a commit that changed
         ``parts``: a checkpoint at the cadence boundary (full manifest),
-        otherwise a delta carrying only the changed partitions."""
+        otherwise a delta carrying only the changed partitions.  ``schema``
+        is the evolved table schema for this commit (None = inherit)."""
         seq = (prev.seq + 1) if prev else 1
         delta = {"mode": mode, "parts": parts}
         resolved = _apply_delta(prev.partitions if prev else {}, delta)
@@ -624,6 +679,7 @@ class IceliteTable:
             kind=kind,
             seq=seq,
             lineage=lineage or {},
+            schema=schema if schema is not None else (prev.schema if prev else None),
         )
 
     TORN_GEN_STALENESS = 5.0  # seconds before an empty gen file is reclaimable
@@ -732,18 +788,33 @@ class IceliteTable:
             self._release_lock(fd)
 
     def _commit_delta(
-        self, operation: str, mode: str, parts: dict, lineage: dict | None
+        self,
+        operation: str,
+        mode: str,
+        parts: dict,
+        lineage: dict | None,
+        data_fields: list[dict] | None = None,
     ) -> Snapshot:
         """Shared optimistic-retry loop for append/overwrite: derive a child
         of the current head, CAS-commit, re-derive on a lost race.  Lost
         races back off with a per-process stagger — under lock="none" the
         gen-file CAS is the only serializer, and hot-spinning contenders
-        can otherwise starve one writer for many consecutive rounds."""
+        can otherwise starve one writer for many consecutive rounds.
+
+        ``data_fields`` (StructType.jsonValue()["fields"] of the written
+        data columns) evolves the table schema; the merge runs INSIDE the
+        retry loop against each freshly-read head, so a concurrent writer's
+        add-column is honored rather than clobbered."""
         for attempt in range(50):
             prev = self.snapshot()
+            schema = (
+                _evolve_schema(prev.schema if prev else None, data_fields, operation)
+                if data_fields is not None
+                else None
+            )
             try:
                 return self._commit(
-                    self._next_snapshot(prev, operation, mode, parts, lineage),
+                    self._next_snapshot(prev, operation, mode, parts, lineage, schema),
                     expected_parent=prev.snapshot_id if prev else None,
                 )
             except CommitConflict:
@@ -760,6 +831,15 @@ class IceliteTable:
         if self.stats_cols is not None:
             return list(self.stats_cols)
         return _auto_stats_cols(pf, self.STATS_MAX_COLS)
+
+    def _precheck_schema(self, df: DataFrame, partition_col: str | None, op: str) -> list[dict]:
+        """Fail an incompatible write BEFORE the (expensive) Spark file
+        write; the authoritative merge re-runs inside _commit_delta's retry
+        loop against each freshly-read head."""
+        fields = _data_fields(df, partition_col)
+        prev = self.snapshot()
+        _evolve_schema(prev.schema if prev else None, fields, op)
+        return fields
 
     def _write_partition_files(
         self, df: DataFrame, partition_col: str | None, cluster: str = "roundrobin"
@@ -873,8 +953,9 @@ class IceliteTable:
         lineage: dict | None = None,
         cluster: str = "roundrobin",
     ) -> Snapshot:
+        fields = self._precheck_schema(df, partition_col, "append")
         new = self._write_partition_files(df, partition_col, cluster)
-        return self._commit_delta("append", "append", new, lineage)
+        return self._commit_delta("append", "append", new, lineage, fields)
 
     def overwrite_partitions(
         self,
@@ -885,8 +966,9 @@ class IceliteTable:
     ) -> Snapshot:
         """Idempotent re-roll: replace exactly the partitions present in df
         (late-data handling — SURVEY.md §2 streaming notes)."""
+        fields = self._precheck_schema(df, partition_col, "overwrite")
         new = self._write_partition_files(df, partition_col, cluster)
-        return self._commit_delta("overwrite", "replace", new, lineage)
+        return self._commit_delta("overwrite", "replace", new, lineage, fields)
 
     # ------------------------------------------------------------- read
 
@@ -948,18 +1030,38 @@ class IceliteTable:
                 any_m = next(iter(snap.partitions.values()))
                 probe = any_m["files"][0]
                 probe = probe if os.path.isabs(probe) else os.path.join(self.root, probe)
-                empty = spark.read.parquet(probe).limit(0)
+                empty = self._reader(spark, snap).parquet(probe).limit(0)
                 return self._apply_where(empty, where)
             raise ValueError("no files match the partition filter")
-        df = spark.read.parquet(*files)
+        df = self._reader(spark, snap).parquet(*files)
         return self._apply_where(df, where) if where else df
+
+    @staticmethod
+    def _reader(spark: SparkSession, snap: Snapshot):
+        """Parquet reader pinned to the snapshot's VERSIONED schema: files
+        written before an add-column lack the new columns, and Spark
+        NULL-backfills any column the explicit read schema has but a file
+        doesn't — exactly Iceberg's read-time evolution semantics.  Time
+        travel to a pre-evolution snapshot reads under THAT snapshot's
+        schema, so the new column genuinely doesn't exist there.
+        Pre-evolution metadata (schema=None) reads the files' own schema."""
+        if snap.schema is None:
+            return spark.read
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(snap.schema))
 
     @staticmethod
     def _file_pruned(fstats: dict, preds: dict) -> bool:
         """True iff ANY normalized predicate provably excludes this file."""
+        cols = fstats.get("__cols__")
         for col, p in preds.items():
             if p is None:
                 continue
+            if cols is not None and col not in cols:
+                # column absent from the file → all NULL on read → no
+                # non-null predicate can match (schema-evolution skipping)
+                return True
             rng = fstats.get(col)
             if not rng:
                 continue

@@ -772,3 +772,34 @@ def test_icelite_fmt1_manifests_still_read_and_merge(spark, tmp_path):
     # [3, 3] provably misses id=1 is the one that gets skipped
     assert t2.last_scan["files_read"] == t2.last_scan["files_considered"] - 1
     assert out.count() == 1
+
+
+def test_icelite_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: the table schema is versioned per snapshot,
+    post-evolution reads NULL-backfill the new column for old files,
+    time travel reads each snapshot under ITS OWN schema, and a same-name
+    type change is rejected before any data is written."""
+    from hdstats_spark.icelite import SchemaEvolutionError
+
+    t = IceliteTable(str(tmp_path / "evo"))
+    s1 = t.append(spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "a")], ["id", "v", "day"]), "day")
+    # add a channel: new column `w`
+    t.append(spark.createDataFrame([(3, 3.0, 30.0, "b")], ["id", "v", "w", "day"]), "day")
+    out = t.read(spark).orderBy("id")
+    assert out.columns == ["id", "v", "w"]
+    rows = out.collect()
+    assert [r["w"] for r in rows] == [None, None, 30.0]  # old files backfilled
+    # a write that OMITS an existing column is fine too (nulls on read)
+    t.append(spark.createDataFrame([(4, "c")], ["id", "day"]), "day")
+    r4 = t.read(spark).filter("id = 4").collect()[0]
+    assert r4["v"] is None and r4["w"] is None
+    # time travel: the pre-evolution snapshot has no `w` at all
+    assert t.read(spark, snapshot_id=s1.snapshot_id).columns == ["id", "v"]
+    # incompatible: same column, different type -> rejected pre-write
+    with pytest.raises(SchemaEvolutionError, match="column 'v'"):
+        t.append(spark.createDataFrame([(9, "oops", "d")], ["id", "v", "day"]), "day")
+    # the failed write committed nothing
+    assert t.read(spark).count() == 4
+    # evolution composes with fmt-2 file skipping
+    out = t.read(spark, where={"w": ("=", 30.0)})
+    assert t.last_scan["files_read"] <= 1 and out.count() == 1
