@@ -774,6 +774,20 @@ def q_decontaminate(spark, sf_dir, n=6, bench_mod=50):
     return decontaminate(d, bench, n=n)
 
 
+def q_decontaminate_bloom(spark, sf_dir, n=6, bench_mod=50):
+    """decontaminate with method='bloom' — the bounded-memory dirty set
+    (vectorized NumPy Bloom over the benchmark shingles' xxhash64 pairs,
+    built distributed, broadcast as bytes, map-only probe, exact re-verify
+    join for Bloom hits only).  Result is bit-identical to the broadcast
+    method, so it shares _sql_decontaminate as its oracle; bench-only
+    (COVERAGE.md) — the broadcast form holds the ledger slot."""
+    from .operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % bench_mod == 0)
+    return decontaminate(d, bench, n=n, method="bloom")
+
+
 def _sql_decontaminate(n=6, bench_mod=50):
     return f"""
 WITH t AS (
@@ -2825,6 +2839,7 @@ def bench_only_queries():
     still benched every round so per-query perf history stays comparable."""
     return {
         "rollup_1d_cascade": q_rollup_1d_cascade,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "mad_vs_centroid": q_mad_vs_centroid,
         "topk_users": q_topk_users,
         "gapfill_locf": q_gapfill_locf,
@@ -2862,6 +2877,7 @@ def oracles():
         "exact_dedup": SQL_EXACT_DEDUP,
         "corpus_filter": _sql_corpus_filter(),
         "decontaminate": _sql_decontaminate(),
+        "decontaminate_bloom": _sql_decontaminate(),
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "dup_clusters": _sql_dup_clusters(),
         "fingerprint": SQL_FINGERPRINT,

@@ -144,6 +144,7 @@ def shingle_jaccard_pairs(
 def decontaminate(
     docs: DataFrame, benchmark: DataFrame, n: int = 6,
     id_col: str = "doc_id", text_col: str = "text",
+    method: str = "broadcast",
 ) -> DataFrame:
     """Test-set DECONTAMINATION — the training-data step none of the dedup
     operators cover: flag every corpus document sharing at least one word
@@ -163,11 +164,31 @@ def decontaminate(
         F.explode(shingles_col(n, text_col)).alias("shingle")
     ).distinct()
     s = docs.select(id_col, F.explode(shingles_col(n, text_col)).alias("shingle"))
-    hits = (
-        s.join(F.broadcast(dirty), "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dirty"))
-    )
+    if method == "bloom":
+        # memory-bounded variant for LARGE suite unions (a 13-gram sweep
+        # over a PaLM-style benchmark union reaches 10^8 shingles — far
+        # past comfortable broadcast range): insert the dirty shingles'
+        # JVM xxhash64 pairs into a vectorized NumPy Bloom filter built
+        # DISTRIBUTED (one bitmap per partition, OR-folded on the driver —
+        # no shingle strings ever leave the executors), broadcast only the
+        # bitmap (m/8 bytes, ~1.2 bytes/item), pre-filter the corpus
+        # shingles with a map-only Arrow-batched probe, then EXACT-verify
+        # the few survivors with a plain (shuffle) semi-join against the
+        # dirty table.  False positives cost only re-verify shuffle rows —
+        # the final result is bit-identical to the broadcast method.
+        dirty = _swap_cache("decontaminate_dirty", dirty)
+        cand = _bloom_prefilter(s, dirty, "shingle")
+        hits = (
+            cand.join(dirty, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_dirty"))
+        )
+    else:
+        hits = (
+            s.join(F.broadcast(dirty), "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_dirty"))
+        )
     zero = F.lit(0).cast("long")
     return (
         docs.select(id_col)
@@ -178,6 +199,84 @@ def decontaminate(
             (F.coalesce("n_dirty", zero) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+_BLOOM_K = 7  # probes per key; with ~10 bits/key -> ~0.8% fp before re-verify
+
+
+def _bloom_hashes(col: str):
+    """Two independent 64-bit hash columns for double-hashing Bloom probes —
+    computed JVM-side so insert (benchmark) and probe (corpus) agree."""
+    return [
+        F.xxhash64(F.col(col)).alias("_h1"),
+        F.xxhash64(F.col(col), F.lit("bloom2")).alias("_h2"),
+    ]
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, m: int):
+    """Yield the k probe positions (double hashing, odd step, power-of-2 m)."""
+    u1 = h1.view(np.uint64)
+    u2 = h2.view(np.uint64) | _ONE_U64  # odd step: full-period mod 2^j
+    mask = np.uint64(m - 1)
+    for i in range(_BLOOM_K):
+        yield ((u1 + np.uint64(i) * u2) & mask).astype(np.int64)
+
+
+def _bloom_prefilter(s: DataFrame, dirty: DataFrame, col: str) -> DataFrame:
+    """Map-only Bloom pre-filter of ``s`` rows on ``col`` membership in
+    ``dirty[col]``.  Returns the candidate subset of ``s`` (false positives
+    possible — callers MUST exact-verify with a join); memory is bounded by
+    the bitmap (~1.2 bytes per dirty key) regardless of key-string sizes."""
+    import pandas as pd
+
+    spark = s.sparkSession
+    n_items = max(1, dirty.count())
+    # power-of-2 sizing at ~10 bits/key keeps the modulo a mask
+    m = 1 << max(13, int(np.ceil(np.log2(n_items * 10))))
+    mbytes = m // 8
+
+    def build(batches):
+        bits = np.zeros(mbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            h1 = pdf["_h1"].to_numpy(np.int64)
+            h2 = pdf["_h2"].to_numpy(np.int64)
+            for pos in _bloom_positions(h1, h2, m):
+                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = (
+        dirty.select(*_bloom_hashes(col))
+        .mapInPandas(build, "bits binary")
+        .collect()
+    )
+    bits = np.zeros(mbytes, dtype=np.uint8)
+    for r in parts:  # O(#partitions) bitmaps OR-folded on the driver
+        bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    bloom = spark.sparkContext.broadcast(bits.tobytes())
+
+    def probe(batches):
+        bf = np.frombuffer(bloom.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["_h1"].to_numpy(np.int64)
+            h2 = pdf["_h2"].to_numpy(np.int64)
+            hit = np.ones(len(pdf), dtype=bool)
+            for pos in _bloom_positions(h1, h2, m):
+                hit &= (bf[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+            out = pdf[hit].drop(columns=["_h1", "_h2"])
+            if len(out):
+                yield out
+
+    probed_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in s.schema.fields
+    )
+    return s.select("*", *_bloom_hashes(col)).mapInPandas(probe, probed_schema)
 
 
 def connected_components(
