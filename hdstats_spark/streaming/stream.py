@@ -865,14 +865,33 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every, comp=None, comp_bucke
             sid = s.parent_id
         return False
 
+    bcol = F.pmod(F.xxhash64("conv_id"), F.lit(comp_buckets))
+
     def sink(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         day = F.date_format("bucket", "yyyy-MM-dd")
         if not already_committed(int(batch_id)):
+            if comp is not None:
+                # composite mode: persist the bucket key and CLUSTER the
+                # write on it (repartition by gmb, then write as-is) — every
+                # data file then spans exactly one bucket, so fmt-2 file
+                # stats make the re-roll's read(where gmb IN touched) skip
+                # the untouched buckets' files instead of full-scanning the
+                # table and filtering (the at-scale clustering the sink
+                # docstring promises, now real)
+                write_df = (
+                    batch_df.withColumn("gmb", bcol)
+                    .withColumn("day", day)
+                    .repartition(comp_buckets, "gmb")
+                )
+                cluster = "asis"
+            else:
+                write_df, cluster = batch_df.withColumn("day", day), "roundrobin"
             snap = tbl.append(
-                batch_df.withColumn("day", day),
+                write_df,
                 "day",
+                cluster=cluster,
                 lineage={"micro_batch": int(batch_id), "source": src_dir},
             )
             # the appended partitions ARE the touched days — no second
@@ -909,13 +928,16 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every, comp=None, comp_bucke
             # mergeable partial state, so touched conversations are
             # recomputed from their FULL committed 1m history, whole hash
             # buckets at a time (idempotent overwrite-by-partition — replays
-            # and late buckets self-repair like the relational cascade)
-            bcol = F.pmod(F.xxhash64("conv_id"), F.lit(comp_buckets))
+            # and late buckets self-repair like the relational cascade).
+            # The 1m files are clustered on gmb at write time (above), so
+            # the where= pushdown prunes the scan to the touched buckets'
+            # FILES via fmt-2 stats — O(touched/total) of the table read,
+            # not a full scan with a residual filter
             touched = sorted(
                 r["gmb"]
                 for r in batch_df.select(bcol.alias("gmb")).distinct().collect()
             )
-            part = tbl.read(spark).drop("day").filter(bcol.isin(touched))
+            part = tbl.read(spark, where={"gmb": ("in", touched)}).drop("day")
             comp_df = geomedian_mads_flat(part, CHANNELS, maxiters=20).withColumn(
                 "gmb", bcol
             )

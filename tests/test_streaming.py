@@ -850,3 +850,40 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
     assert got.loc[1, "contaminated"] == 1 and got.loc[2, "contaminated"] == 0
+
+
+def test_composite_reroll_prunes_to_touched_bucket_files(spark, transcripts, tmp_path):
+    """r6: composite-mode appends are CLUSTERED on the gmb bucket key and
+    the re-roll reads via where={'gmb': in touched}, so fmt-2 file stats
+    prune the scan to the touched buckets' files — a micro-batch touching
+    one bucket must read strictly fewer 1m files than the table holds,
+    while the composite stays ≡ batch."""
+    from hdstats_spark.icelite import IceliteTable
+    from hdstats_spark.operators.series import geomedian_mads_flat
+    from hdstats_spark.schema import CHANNELS
+    from hdstats_spark.streaming.stream import icelite_sink
+
+    B = 4
+    root = str(tmp_path / "prune_1m")
+    tbl = IceliteTable(root)
+    comp = IceliteTable(root + "_gm")
+    sink = icelite_sink(spark, tbl, "src", None, None, comp, comp_buckets=B)
+
+    tier = rollup_raw(channelize(transcripts), "1m").cache()
+    bcol = F.pmod(F.xxhash64("conv_id"), F.lit(B))
+    # batch 0: every bucket; batch 1: conversations of ONE bucket only
+    sink(tier, 0)
+    one_bucket = tier.filter(bcol == 2)
+    assert one_bucket.count() > 0
+    sink(one_bucket, 1)
+    scan = tbl.last_scan  # recorded by the re-roll's where= read
+    assert scan["files_read"] < scan["files_considered"], scan
+    # files are pure in gmb, so the touched-bucket read is ~1/B of the table
+    assert scan["files_read"] <= scan["files_considered"] // 2
+    got = comp.read(spark).orderBy("conv_id").toPandas().reset_index(drop=True)
+    expect = (
+        geomedian_mads_flat(tbl.read(spark).drop("day"), CHANNELS, maxiters=20)
+        .orderBy("conv_id").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect[got.columns], check_dtype=False)
+    tier.unpersist()
