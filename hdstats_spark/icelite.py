@@ -107,6 +107,9 @@ class Snapshot:
     # schema it was committed with; None on pre-evolution metadata (readers
     # then take the files' own schema, today's behavior)
     schema: dict | None = None
+    # the partitioning column's NAME (its values are the manifest keys):
+    # lets read(where=) route predicates on it to manifest-level pruning
+    partition_col: str | None = None
 
     def to_json(self) -> dict:
         d = dict(self.__dict__)
@@ -389,6 +392,7 @@ class IceliteTable:
         d.setdefault("seq", 1)
         d.setdefault("fmt", 1)  # pre-stats metadata: no per-file min/max
         d.setdefault("schema", None)  # pre-evolution metadata: files' own
+        d.setdefault("partition_col", None)
         return Snapshot(**d)
 
     def _resolve(self, snap: Snapshot) -> Snapshot:
@@ -661,6 +665,7 @@ class IceliteTable:
         parts: dict,
         lineage: dict | None,
         schema: dict | None = None,
+        partition_col: str | None = None,
     ) -> Snapshot:
         """Build the child snapshot of ``prev`` for a commit that changed
         ``parts``: a checkpoint at the cadence boundary (full manifest),
@@ -680,6 +685,11 @@ class IceliteTable:
             seq=seq,
             lineage=lineage or {},
             schema=schema if schema is not None else (prev.schema if prev else None),
+            partition_col=(
+                partition_col
+                if partition_col is not None
+                else (prev.partition_col if prev else None)
+            ),
         )
 
     TORN_GEN_STALENESS = 5.0  # seconds before an empty gen file is reclaimable
@@ -794,6 +804,7 @@ class IceliteTable:
         parts: dict,
         lineage: dict | None,
         data_fields: list[dict] | None = None,
+        partition_col: str | None = None,
     ) -> Snapshot:
         """Shared optimistic-retry loop for append/overwrite: derive a child
         of the current head, CAS-commit, re-derive on a lost race.  Lost
@@ -814,7 +825,9 @@ class IceliteTable:
             )
             try:
                 return self._commit(
-                    self._next_snapshot(prev, operation, mode, parts, lineage, schema),
+                    self._next_snapshot(
+                        prev, operation, mode, parts, lineage, schema, partition_col
+                    ),
                     expected_parent=prev.snapshot_id if prev else None,
                 )
             except CommitConflict:
@@ -955,7 +968,7 @@ class IceliteTable:
     ) -> Snapshot:
         fields = self._precheck_schema(df, partition_col, "append")
         new = self._write_partition_files(df, partition_col, cluster)
-        return self._commit_delta("append", "append", new, lineage, fields)
+        return self._commit_delta("append", "append", new, lineage, fields, partition_col)
 
     def overwrite_partitions(
         self,
@@ -968,7 +981,7 @@ class IceliteTable:
         (late-data handling — SURVEY.md §2 streaming notes)."""
         fields = self._precheck_schema(df, partition_col, "overwrite")
         new = self._write_partition_files(df, partition_col, cluster)
-        return self._commit_delta("overwrite", "replace", new, lineage, fields)
+        return self._commit_delta("overwrite", "replace", new, lineage, fields, partition_col)
 
     # ------------------------------------------------------------- read
 
@@ -999,6 +1012,32 @@ class IceliteTable:
         if snap is None:
             raise FileNotFoundError(f"no snapshot in {self.root}")
         preds = None
+        had_where = bool(where)
+        if where and snap.partition_col is not None and snap.partition_col in where:
+            # the partition column lives in manifest KEYS, not data files:
+            # its predicate prunes partitions exactly (value == key) and
+            # must not reach the Spark filter.  Values compare as strings
+            # (manifest keys are strings; day-style keys sort correctly).
+            where = dict(where)
+            op, *args = where.pop(snap.partition_col)
+            if not all(
+                isinstance(a, str) for a in (args[0] if op == "in" else args)
+            ):
+                raise ValueError(
+                    f"partition-column predicate on {snap.partition_col!r} "
+                    "must use string values (manifest keys are strings)"
+                )
+            pargs = (args[0],) if op == "in" else tuple(args)
+            matched = [
+                v
+                for v in snap.partitions
+                if not _ranges_disjoint(v, v, op, pargs)
+            ]
+            partitions = (
+                matched
+                if partitions is None
+                else [v for v in matched if v in set(partitions)]
+            )
         if where:
             preds = {}
             for col, spec in where.items():
@@ -1022,7 +1061,7 @@ class IceliteTable:
                 files.append(f if os.path.isabs(f) else os.path.join(self.root, f))
         self.last_scan = {"files_considered": considered, "files_read": len(files)}
         if not files:
-            if where:
+            if had_where:
                 # every file provably excluded: an empty scan with the
                 # TARGET SCHEMA (read one pruned file's footer schema via
                 # Spark would defeat the point; empty relation from any
@@ -1111,6 +1150,7 @@ class IceliteTable:
         value: str,
         target_files: int = 1,
         lineage: dict | None = None,
+        cluster_col: str | None = None,
     ) -> Snapshot | None:
         """Rewrite one partition's data files into ``target_files`` files —
         the icelite analogue of Iceberg's rewriteDataFiles (small-file
@@ -1132,7 +1172,18 @@ class IceliteTable:
         if prev is None or value not in prev.partitions:
             return None
         original = prev.partitions[value]
-        df = self.read(spark, partitions=[value]).coalesce(max(1, target_files))
+        df = self.read(spark, partitions=[value])
+        if cluster_col is not None:
+            # preserve a write-time clustering through the rewrite: a plain
+            # coalesce would interleave buckets into each output file and
+            # destroy the tight per-file min/max that makes read(where=)
+            # skip.  RANGE partitioning (not hash — hash collides distinct
+            # values into shared files) gives every compacted file a
+            # disjoint value range, so a point predicate reads exactly one
+            # file
+            df = df.repartitionByRange(max(1, target_files), cluster_col)
+        else:
+            df = df.coalesce(max(1, target_files))
         commit_dir = os.path.join(self.data_dir, f"compact-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(commit_dir)
         import pyarrow.parquet as pq

@@ -883,7 +883,10 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every, comp=None, comp_bucke
                 write_df = (
                     batch_df.withColumn("gmb", bcol)
                     .withColumn("day", day)
-                    .repartition(comp_buckets, "gmb")
+                    # RANGE partitioning: disjoint per-file gmb ranges (hash
+                    # would collide distinct buckets into shared files and
+                    # blunt the min/max skipping)
+                    .repartitionByRange(comp_buckets, "gmb")
                 )
                 cluster = "asis"
             else:
@@ -951,8 +954,14 @@ def icelite_sink(spark, tbl, src_dir, casc, compact_every, comp=None, comp_bucke
             snap = tbl.snapshot()
             for value, m in snap.partitions.items():
                 if len(m["files"]) > max(2, compact_every // 2):
+                    # composite mode compacts INTO the bucket clustering
+                    # (one file per gmb bucket) so the re-roll's file
+                    # skipping survives maintenance; plain mode keeps the
+                    # single-file coalesce
                     tbl.compact_partition(
                         spark, "day", value,
+                        target_files=comp_buckets if comp is not None else 1,
+                        cluster_col="gmb" if comp is not None else None,
                         lineage={"compacted": value, "after_batch": int(batch_id)},
                     )
             # cascade/composite tables are derived state: per-micro-batch

@@ -803,3 +803,52 @@ def test_icelite_schema_evolution_add_column(spark, tmp_path):
     # evolution composes with fmt-2 file skipping
     out = t.read(spark, where={"w": ("=", 30.0)})
     assert t.last_scan["files_read"] <= 1 and out.count() == 1
+
+
+def test_icelite_partition_col_predicate_routes_to_manifest(spark, tmp_path):
+    """read(where=) on the PARTITION column prunes at the manifest level
+    (its values are manifest keys, not data columns) and composes with
+    data-column file skipping; compaction can preserve a write-time
+    clustering so skipping survives maintenance."""
+    t = IceliteTable(str(tmp_path / "pk"))
+    for day, ids in [("2024-01-01", (1, 2)), ("2024-01-02", (3, 4)), ("2024-01-03", (5, 6))]:
+        t.append(
+            spark.createDataFrame([(i, day) for i in ids], ["id", "day"]),
+            "day", cluster="bypart",
+        )
+    assert t.snapshot().partition_col == "day"
+    out = t.read(spark, where={"day": ("=", "2024-01-02")})
+    assert out.select("id").rdd.map(lambda r: r[0]).collect() in ([3, 4], [4, 3])
+    out = t.read(spark, where={"day": (">=", "2024-01-02"), "id": ("=", 5)})
+    assert t.last_scan["files_considered"] == 2  # day pruning first
+    assert t.last_scan["files_read"] == 1  # then id file skipping
+    assert [r["id"] for r in out.collect()] == [5]
+    # range + in
+    assert t.read(spark, where={"day": ("between", "2024-01-01", "2024-01-02")}).count() == 4
+    assert t.read(spark, where={"day": ("in", ["2024-01-03"])}).count() == 2
+    # zero matching partitions -> empty result, not an error
+    assert t.read(spark, where={"day": ("=", "2029-01-01")}).count() == 0
+    with pytest.raises(ValueError, match="string values"):
+        t.read(spark, where={"day": ("=", 7)})
+
+
+def test_icelite_compact_preserves_cluster_col(spark, tmp_path):
+    """compact_partition(cluster_col=...) keeps every compacted file pure in
+    the cluster column, so read(where=) file skipping survives compaction."""
+    B = 4
+    t = IceliteTable(str(tmp_path / "cclus"))
+    rows = [(i, i % B, "d1") for i in range(400)]
+    for k in range(3):  # 3 commits -> several files, buckets interleaved
+        t.append(
+            spark.createDataFrame(rows[k * 100 : (k + 1) * 100 + 100], ["id", "gmb", "day"]),
+            "day",
+        )
+    s = t.compact_partition(spark, "day", "d1", target_files=B, cluster_col="gmb")
+    assert s is not None
+    m = t.snapshot().partitions["d1"]
+    # range-partitioned rewrite: compacted files cover DISJOINT gmb ranges
+    ranges = sorted(st["gmb"] for st in m["stats"])
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+    t.read(spark, where={"gmb": ("=", 2)})
+    assert t.last_scan["files_read"] == 1
