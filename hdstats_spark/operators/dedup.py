@@ -50,15 +50,20 @@ _live_caches_lock = threading.Lock()
 
 
 def _swap_cache(key: str, df: DataFrame) -> DataFrame:
-    out = df.cache()
     with _live_caches_lock:
         prev = _live_caches.get(key)
+        if prev is not None:
+            # unpersist BEFORE caching the successor: Spark's CacheManager
+            # keys entries by logical plan, so when the new call rebuilds
+            # the IDENTICAL plan (bench repeats, parity re-runs), a
+            # cache-then-unpersist order would drop the entry that was
+            # just registered and silently uncache the new call too
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # predecessor belonged to a since-stopped SparkSession
+        out = df.cache()
         _live_caches[key] = out
-    if prev is not None and prev is not out:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # predecessor belonged to a since-stopped SparkSession
     return out
 
 
