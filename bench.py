@@ -51,6 +51,9 @@ HEADLINE = [
     # r5: benchmark decontamination (broadcast dirty-ngram set, map-only
     # corpus probe) — hash-checked at sf0.01
     "decontaminate",
+    # r6: the bounded-memory Bloom dirty-set variant (bit-identical result;
+    # benched so the Bloom build + re-verify overhead has a history)
+    "decontaminate_bloom",
     "lang_id",
     "knn_cosine",
     "embedding_dups",
@@ -76,15 +79,19 @@ HEADLINE = [
     # r5 NON-degenerate fourier mirror: real spectra, fixed-L cohort, naive
     # inlined-constant DFT oracle — hash-checked at all three sf dirs
     "fourier_fixed16",
+    # r6 NON-degenerate MAD mirror: first-15-observed daily cohort at p=1
+    # through the real Weiszfeld+mads kernels — hash-checked at all sf dirs
+    "mads_fixed_p1",
     "number_peaks_w1",
     "minhash_lsh_poly",
     "simhash_poly",
     # degenerate-exact mirrors of the approximate kNN families (one-bucket /
     # one-list settings — the same join+re-rank plans their scale defaults
     # run, so their cost is representative, and hash-checked).
-    # embedding_dups_lsh_exact is deliberately NOT benched: its k=0 setting
-    # materializes all O(N²) candidate pairs as join rows — a correctness
-    # mirror, not a perf path (the driver still hash-checks it at sf0.01).
+    # embedding_dups_lsh_exact (k=0: ALL candidate pairs as join rows) was
+    # unbenchable before the r6 deterministic cohort cap bounded it to
+    # sf0.1 scale at any sf; benched now so the degenerate path has history
+    "embedding_dups_lsh_exact",
     "knn_ivf_exact",
     "knn_lsh_exact",
     "multimodal_features",
