@@ -456,6 +456,20 @@ class IceliteTable:
             return None
         return self._resolve(self._load_raw(sid))
 
+    def snapshot_as_of(self, ts: float) -> Snapshot | None:
+        """Time travel by TIMESTAMP (Iceberg's ``FOR SYSTEM_TIME AS OF``):
+        the newest snapshot committed at or before ``ts`` (epoch seconds).
+        Walks the linear chain backward from the head via lineage-only
+        loads — O(commits newer than ts), no manifest resolution until the
+        target is found.  None if the table didn't exist yet at ``ts``."""
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            s = self._load_raw(sid)
+            if s.committed_at <= ts:
+                return self._resolve(s)
+            sid = s.parent_id
+        return None
+
     def snapshots(self) -> list[Snapshot]:
         """All snapshots, oldest first, each with its RESOLVED manifest —
         maintenance/introspection surface (O(#commits); the commit and read
@@ -991,6 +1005,7 @@ class IceliteTable:
         snapshot_id: str | None = None,
         partitions: list[str] | None = None,
         where: dict | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
         """Read a snapshot (default: current), optionally pruned to given
         partition values — manifest-level partition pruning, so Spark never
@@ -1008,9 +1023,14 @@ class IceliteTable:
         range covers it instead of every file of the matching day.
         ``self.last_scan`` records (files_considered, files_read) for plan
         assertions and the bench harness."""
-        snap = self.snapshot(snapshot_id)
+        if as_of is not None and snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of, not both")
+        snap = self.snapshot_as_of(as_of) if as_of is not None else self.snapshot(snapshot_id)
         if snap is None:
-            raise FileNotFoundError(f"no snapshot in {self.root}")
+            raise FileNotFoundError(
+                f"no snapshot in {self.root}"
+                + (f" as of {as_of}" if as_of is not None else "")
+            )
         preds = None
         had_where = bool(where)
         if where and snap.partition_col is not None and snap.partition_col in where:
@@ -1039,15 +1059,7 @@ class IceliteTable:
                 else [v for v in matched if v in set(partitions)]
             )
         if where:
-            preds = {}
-            for col, spec in where.items():
-                op, *args = spec
-                if op in ("in",):
-                    norm = [_stat_scalar(a, self.STATS_MAX_STR) for a in args[0]]
-                    preds[col] = (op, (norm,)) if all(n is not None for n in norm) else None
-                else:
-                    norm = tuple(_stat_scalar(a, self.STATS_MAX_STR) for a in args)
-                    preds[col] = (op, norm) if all(n is not None for n in norm) else None
+            preds = self._normalize_preds(where)
         files = []
         considered = 0
         for value, m in snap.partitions.items():
@@ -1089,6 +1101,21 @@ class IceliteTable:
         from pyspark.sql.types import StructType
 
         return spark.read.schema(StructType.fromJson(snap.schema))
+
+    def _normalize_preds(self, where: dict) -> dict:
+        """Encode predicate values with the same _stat_scalar the writer
+        used, so stats comparisons are like-for-like.  An unencodable value
+        maps to None (that predicate never skips a file)."""
+        preds = {}
+        for col, spec in where.items():
+            op, *args = spec
+            if op == "in":
+                norm = [_stat_scalar(a, self.STATS_MAX_STR) for a in args[0]]
+                preds[col] = (op, (norm,)) if all(n is not None for n in norm) else None
+            else:
+                norm = tuple(_stat_scalar(a, self.STATS_MAX_STR) for a in args)
+                preds[col] = (op, norm) if all(n is not None for n in norm) else None
+        return preds
 
     @staticmethod
     def _file_pruned(fstats: dict, preds: dict) -> bool:
@@ -1235,6 +1262,176 @@ class IceliteTable:
             # were never referenced by any snapshot — GC them, don't orphan
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        where: dict,
+        lineage: dict | None = None,
+        retries: int = 3,
+    ) -> Snapshot | None:
+        """Row-level DELETE, copy-on-write at FILE granularity — the icelite
+        analogue of Iceberg's copy-on-write ``DELETE FROM ... WHERE`` (the
+        training-data use case: purge contaminated/flagged documents or a
+        user's conversations from a 100-TB table without a table rewrite).
+
+        ``where`` is the read() predicate grammar; matching rows (predicate
+        TRUE — NULL keeps the row, SQL DELETE semantics) are removed.  The
+        fmt-2 file statistics bound the work: a partition-column predicate
+        restricts which partitions are touched at all, and within each
+        partition only files whose min/max COULD contain a match are read
+        and rewritten — provably-clean files are carried into the new
+        snapshot untouched (no I/O).  Old snapshots still see the deleted
+        rows (time travel intact) until expire_snapshots GCs the rewritten
+        files.
+
+        Commits through the same optimistic CAS as every other writer; if a
+        concurrent commit touches an affected partition between planning
+        and commit, the rewrite is abandoned (files GC'd) and re-planned,
+        up to ``retries`` times.  Returns the new snapshot, or None when no
+        file could contain a match (metadata-only no-op, nothing
+        committed)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        for _ in range(max(1, retries)):
+            snap = self.snapshot()
+            if snap is None:
+                return None
+            where_eff = dict(where)
+            part_values = list(snap.partitions)
+            if snap.partition_col is not None and snap.partition_col in where_eff:
+                op, *args = where_eff.pop(snap.partition_col)
+                pargs = (args[0],) if op == "in" else tuple(args)
+                if not all(
+                    isinstance(a, str) for a in (pargs[0] if op == "in" else pargs)
+                ):
+                    raise ValueError(
+                        f"partition-column predicate on {snap.partition_col!r} "
+                        "must use string values (manifest keys are strings)"
+                    )
+                part_values = [
+                    v for v in part_values if not _ranges_disjoint(v, v, op, pargs)
+                ]
+            preds = self._normalize_preds(where_eff) if where_eff else {}
+            # plan: per partition, split files into rewrite candidates
+            # (stats can't exclude a match) and carried-through survivors
+            plan = {}
+            for value in part_values:
+                m = snap.partitions[value]
+                stats = m.get("stats") or [None] * len(m["files"])
+                hit, kept = [], []
+                for f, fst in zip(m["files"], stats):
+                    if preds and fst and self._file_pruned(fst, preds):
+                        kept.append((f, fst))
+                    else:
+                        hit.append(f)
+                if hit:
+                    plan[value] = (m, hit, kept)
+            if not plan:
+                return None  # nothing can match anywhere — metadata no-op
+
+            conj = None
+            for col, spec in where_eff.items():
+                op, *args = spec
+                c = F.col(col)
+                term = {
+                    "=": lambda: c == args[0],
+                    "<": lambda: c < args[0],
+                    "<=": lambda: c <= args[0],
+                    ">": lambda: c > args[0],
+                    ">=": lambda: c >= args[0],
+                    "between": lambda: c.between(args[0], args[1]),
+                    "in": lambda: c.isin(list(args[0])),
+                }[op]()
+                conj = term if conj is None else (conj & term)
+            # SQL DELETE: remove rows where the predicate is TRUE; NULL keeps
+            keep_pred = (
+                ~F.coalesce(conj, F.lit(False)) if conj is not None else F.lit(False)
+            )
+
+            commit_dir = os.path.join(self.data_dir, f"delete-{uuid.uuid4().hex[:12]}")
+            parts: dict = {}
+            try:
+                for value, (m, hit, kept) in plan.items():
+                    paths = [
+                        f if os.path.isabs(f) else os.path.join(self.root, f)
+                        for f in hit
+                    ]
+                    out_dir = os.path.join(commit_dir, f"p-{uuid.uuid4().hex[:8]}")
+                    (
+                        self._reader(spark, snap)
+                        .parquet(*paths)
+                        .filter(keep_pred)
+                        .write.mode("overwrite")
+                        .parquet(out_dir)
+                    )
+                    new_files = [
+                        (p, pf)
+                        for p in (
+                            os.path.join(out_dir, n)
+                            for n in os.listdir(out_dir)
+                            if n.endswith(".parquet")
+                        )
+                        for pf in [pq.ParquetFile(p)]
+                        if pf.metadata.num_rows  # drop empty writer shards
+                    ]
+                    scols = (
+                        self._resolve_stats_cols(new_files[0][1]) if new_files else []
+                    )
+                    files = [f for f, _ in kept]
+                    stats = [s for _, s in kept]
+                    # surviving rows = carried files' rows + rewritten rows
+                    kept_rows = 0
+                    if kept:
+                        kpaths = [
+                            f if os.path.isabs(f) else os.path.join(self.root, f)
+                            for f, _ in kept
+                        ]
+                        kept_rows = sum(
+                            pq.ParquetFile(p).metadata.num_rows for p in kpaths
+                        )
+                    new_rows = sum(pf.metadata.num_rows for _, pf in new_files)
+                    for p, pf in new_files:
+                        files.append(os.path.relpath(p, self.root))
+                        stats.append(_file_stats(pf, scols, self.STATS_MAX_STR))
+                    parts[value] = {
+                        "files": files,
+                        "rows": int(kept_rows + new_rows),
+                        "stats": stats,
+                    }
+                for attempt in range(20):
+                    prev = self.snapshot()
+                    if any(
+                        prev.partitions.get(v) != plan[v][0] for v in plan
+                    ):
+                        raise CommitConflict("concurrent write to affected partition")
+                    try:
+                        return self._commit(
+                            self._next_snapshot(
+                                prev,
+                                "delete",
+                                "replace",
+                                parts,
+                                lineage or {"delete_where": {k: list(map(str, v)) for k, v in where.items()}},
+                            ),
+                            expected_parent=prev.snapshot_id,
+                        )
+                    except CommitConflict as e:
+                        if "affected partition" in str(e):
+                            raise
+                        continue
+                raise CommitConflict("delete lost 20 consecutive commit races")
+            except CommitConflict:
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                continue  # re-plan against the new head
+            except Exception:
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                raise
+        raise CommitConflict(f"delete_where lost {retries} planning rounds")
 
     def expire_snapshots(
         self, keep_last: int = 1, older_than_s: float | None = None
