@@ -99,7 +99,11 @@ class Snapshot:
     committed_at: float = 0.0
     # snapshot format version: 1 = {files, rows} manifests, 2 = adds
     # per-file column min/max under "stats" (readers of either version
-    # accept the other — a missing stat just disables file skipping)
+    # accept the other — a missing stat just disables file skipping),
+    # 3 = adds merge-on-read state: per-file birth seq under "fseq" and
+    # equality-delete files under "deletes" (an equality delete applies to
+    # exactly the files with fseq < its seq — Iceberg v2's sequence-number
+    # rule)
     fmt: int = 2
     # table schema AS OF this snapshot (StructType.jsonValue(), data
     # columns only — the partition column lives in the manifest keys).
@@ -138,11 +142,58 @@ def _apply_delta(base: dict, delta: dict) -> dict:
                     merged["stats"] = (
                         prev.get("stats") or [None] * len(prev["files"])
                     ) + (m.get("stats") or [None] * len(m["files"]))
+                if "fseq" in prev or "fseq" in m:
+                    # per-file birth commit seq, aligned with files; a side
+                    # without it predates every equality delete (seq 0)
+                    merged["fseq"] = (
+                        prev.get("fseq") or [0] * len(prev["files"])
+                    ) + (m.get("fseq") or [0] * len(m["files"]))
+                if prev.get("deletes") or m.get("deletes"):
+                    # equality-delete files accumulate until compaction or
+                    # overwrite materializes them (merge-on-read)
+                    merged["deletes"] = list(prev.get("deletes") or []) + list(
+                        m.get("deletes") or []
+                    )
                 out[value] = merged
             else:
                 out[value] = m
     else:  # replace: the commit's partitions point at the new files only
         out.update(parts)
+    return out
+
+
+def _stamp_seq(parts: dict, prev_parts: dict | None, mode: str, seq: int) -> dict:
+    """Stamp this commit's sequence number into the parts that need
+    merge-on-read bookkeeping: ``fseq`` entries of None become ``seq`` (the
+    file is born at this commit), and delete entries with seq None likewise.
+    A part is stamped only when it — or, for appends, the manifest entry it
+    merges into — already carries MOR state (``fseq``/``deletes``); plain
+    tables keep byte-identical metadata.  Returns fresh dicts (callers reuse
+    ``parts`` across commit retries, where ``seq`` changes)."""
+    out = {}
+    for value, m in parts.items():
+        pe = (prev_parts or {}).get(value) if mode == "append" else None
+        need = (
+            "fseq" in m
+            or "deletes" in m
+            or (pe is not None and ("fseq" in pe or pe.get("deletes")))
+        )
+        if not need:
+            out[value] = m
+            continue
+        m2 = dict(m)
+        fs = m2.get("fseq")
+        m2["fseq"] = (
+            [seq] * len(m2["files"])
+            if fs is None
+            else [seq if x is None else x for x in fs]
+        )
+        if m2.get("deletes"):
+            m2["deletes"] = [
+                dict(d, seq=seq if d.get("seq") is None else d["seq"])
+                for d in m2["deletes"]
+            ]
+        out[value] = m2
     return out
 
 
@@ -686,9 +737,13 @@ class IceliteTable:
         otherwise a delta carrying only the changed partitions.  ``schema``
         is the evolved table schema for this commit (None = inherit)."""
         seq = (prev.seq + 1) if prev else 1
-        delta = {"mode": mode, "parts": parts}
+        delta = {
+            "mode": mode,
+            "parts": _stamp_seq(parts, prev.partitions if prev else None, mode, seq),
+        }
         resolved = _apply_delta(prev.partitions if prev else {}, delta)
         kind = "checkpoint" if (prev is None or seq % self.CHECKPOINT_EVERY == 0) else "delta"
+        fmt = 3 if any(m.get("deletes") or "fseq" in m for m in resolved.values()) else 2
         return Snapshot(
             snapshot_id=uuid.uuid4().hex[:16],
             parent_id=prev.snapshot_id if prev else None,
@@ -697,6 +752,7 @@ class IceliteTable:
             delta=delta,
             kind=kind,
             seq=seq,
+            fmt=fmt,
             lineage=lineage or {},
             schema=schema if schema is not None else (prev.schema if prev else None),
             partition_col=(
@@ -997,6 +1053,208 @@ class IceliteTable:
         new = self._write_partition_files(df, partition_col, cluster)
         return self._commit_delta("overwrite", "replace", new, lineage, fields, partition_col)
 
+    def _write_delete_key_files(
+        self, keys_df: DataFrame, key_cols: list[str], partition_col: str | None
+    ) -> dict:
+        """Write equality-delete KEY files — one small parquet per touched
+        partition holding just the distinct key columns — and return
+        ``{partition_value: [{"file": relpath, "rows": n}, ...]}``."""
+        import pyarrow.parquet as pq
+
+        dd = os.path.join(self.data_dir, f"deletes-{uuid.uuid4().hex[:12]}")
+        if partition_col is None:
+            keys_df.select(*key_cols).distinct().coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(dd)
+            kfs = [
+                {
+                    "file": os.path.relpath(p, self.root),
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                }
+                for n in os.listdir(dd)
+                if n.endswith(".parquet")
+                for p in [os.path.join(dd, n)]
+                if pq.ParquetFile(p).metadata.num_rows
+            ]
+            return {"__all__": kfs} if kfs else {}
+        (
+            keys_df.select(partition_col, *key_cols)
+            .distinct()
+            # hash on the partition col: each partition's keys land in ONE
+            # task -> one key file per partition, however many partitions
+            # one commit touches
+            .repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(dd)
+        )
+        out: dict = {}
+        for entry in os.listdir(dd):
+            if "=" not in entry:
+                continue
+            value = unquote(entry.split("=", 1)[1])
+            pdir = os.path.join(dd, entry)
+            kfs = [
+                {
+                    "file": os.path.relpath(p, self.root),
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                }
+                for n in os.listdir(pdir)
+                if n.endswith(".parquet")
+                for p in [os.path.join(pdir, n)]
+                if pq.ParquetFile(p).metadata.num_rows
+            ]
+            if kfs:
+                out[value] = kfs
+        return out
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_col: str | None = None,
+        lineage: dict | None = None,
+        cluster: str = "roundrobin",
+    ) -> Snapshot:
+        """MERGE (latest-wins upsert), MERGE-ON-READ — the icelite analogue
+        of Iceberg v2 equality deletes: one commit appends the batch's data
+        files PLUS a tiny per-partition equality-delete key file
+        (``distinct`` key columns of the batch).  A delete masks exactly the
+        rows of OLDER files (file ``fseq`` < delete seq) whose keys match,
+        so prior versions of the upserted keys disappear from reads while
+        the batch's own rows — born at this commit's seq — survive.
+
+        Why this shape at 100 TB: commit cost is O(batch) — no existing
+        file is read, rewritten, or even listed, versus copy-on-write
+        (``delete_where`` + ``append``) which rewrites every file that
+        contains an updated key.  Readers pay one BROADCAST left-anti join
+        per pending key-column set (key files are tiny next to data; no
+        shuffle of the data side); ``compact_partition`` materializes the
+        backlog and restores the zero-join fast path — schedule it off
+        ``pending_deletes()``.  Replaying a batch is idempotent: the replay's
+        delete masks the original copy and the re-appended rows take over.
+
+        Scope: deletes are PARTITION-SCOPED (exactly Iceberg's
+        partition-scoped delete files) — a key that MOVES partitions between
+        batches is not retracted from its old partition; retract explicitly
+        with ``delete_by_keys`` first.  Key columns must be non-null (an
+        equality join never matches NULL keys, so NULL-keyed old rows would
+        survive).  Time travel to pre-upsert snapshots still sees the old
+        rows until ``expire_snapshots``."""
+        keys_in_file = [k for k in key_cols if k != partition_col]
+        if not keys_in_file:
+            raise ValueError(
+                "key_cols must include a non-partition column — to replace "
+                "whole partitions use overwrite_partitions"
+            )
+        fields = self._precheck_schema(df, partition_col, "upsert")
+        new = self._write_partition_files(df, partition_col, cluster)
+        kman = self._write_delete_key_files(df, keys_in_file, partition_col)
+        parts = {}
+        for value, m in new.items():
+            entry = dict(m)
+            entry["fseq"] = [None] * len(m["files"])  # born at the commit seq
+            entry["deletes"] = [
+                {"file": kf["file"], "keys": keys_in_file, "seq": None, "rows": kf["rows"]}
+                for kf in kman.get(value, [])
+            ]
+            parts[value] = entry
+        return self._commit_delta(
+            "upsert", "append", parts, lineage, fields, partition_col
+        )
+
+    def delete_by_keys(
+        self,
+        keys_df: DataFrame,
+        key_cols: list[str],
+        lineage: dict | None = None,
+    ) -> Snapshot | None:
+        """Row-level DELETE by key, MERGE-ON-READ: commits only equality-
+        delete key files — O(keys) metadata + key bytes, zero data-file
+        I/O — where ``delete_where`` (copy-on-write) rewrites every file
+        containing a match.  The right tool when the match set is a key
+        list (purge these conv_ids / documents) rather than a predicate.
+
+        If ``keys_df`` carries the table's partition column the deletes are
+        scoped to those partitions; otherwise ONE shared key file is
+        attached to every partition (delete-across-the-table, e.g. a
+        conv_id purge over all days).  Matching rows vanish from reads
+        immediately; physical reclamation happens at ``compact_partition``
+        + ``expire_snapshots``.  Returns None when the table is empty or no
+        keys were provided (nothing committed)."""
+        snap = self.snapshot()
+        if snap is None:
+            return None
+        pcol = snap.partition_col
+        keys_in_file = [k for k in key_cols if k != pcol]
+        if not keys_in_file:
+            raise ValueError(
+                "key_cols must include a non-partition column — to drop "
+                "whole partitions use delete_where on the partition column"
+            )
+        scoped = pcol is not None and pcol in keys_df.columns
+        kman = self._write_delete_key_files(
+            keys_df, keys_in_file, pcol if scoped else None
+        )
+        if not scoped and "__all__" in kman and pcol is not None:
+            kman = {v: kman["__all__"] for v in snap.partitions}
+        parts = {}
+        orphans: list[str] = []
+        for value, kfs in kman.items():
+            if value not in snap.partitions:
+                orphans.extend(kf["file"] for kf in kfs)
+                continue
+            parts[value] = {
+                "files": [],
+                "rows": 0,
+                "stats": [],
+                "fseq": [],
+                "deletes": [
+                    {
+                        "file": kf["file"],
+                        "keys": keys_in_file,
+                        "seq": None,
+                        "rows": kf["rows"],
+                    }
+                    for kf in kfs
+                ],
+            }
+        for f in set(orphans) - {
+            kf["file"] for v in parts.values() for kf in v["deletes"]
+        }:
+            try:  # key files for partitions the table doesn't have
+                os.unlink(f if os.path.isabs(f) else os.path.join(self.root, f))
+            except FileNotFoundError:
+                pass
+        if not parts:
+            return None
+        return self._commit_delta(
+            "delete",
+            "append",
+            parts,
+            lineage or {"delete_by_keys": list(key_cols)},
+        )
+
+    def pending_deletes(self, snapshot_id: str | None = None) -> dict:
+        """Per-partition equality-delete backlog:
+        ``{value: {"files": n, "rows": n}}`` (rows = key rows, an upper
+        bound on masked data rows).  Empty = no pending deletes; ``read``
+        takes the zero-join fast path and ``rows()`` is exact.  Drives
+        compaction scheduling — ``compact_partition`` materializes a
+        partition's backlog and drops its entries."""
+        snap = self.snapshot(snapshot_id)
+        out: dict = {}
+        if snap is None:
+            return out
+        for value, m in snap.partitions.items():
+            dels = m.get("deletes") or []
+            if dels:
+                out[value] = {
+                    "files": len(dels),
+                    "rows": int(sum(d.get("rows", 0) for d in dels)),
+                }
+        return out
+
     # ------------------------------------------------------------- read
 
     def read(
@@ -1060,32 +1318,89 @@ class IceliteTable:
             )
         if where:
             preds = self._normalize_preds(where)
-        files = []
+        # Collect surviving data files into EQUIVALENCE CLASSES by the set
+        # of equality-delete files that apply to them (delete.seq > file's
+        # birth fseq — the Iceberg v2 sequence-number rule).  Tables with no
+        # pending deletes collapse to one empty-keyed class: the zero-cost
+        # fast path below is then exactly the pre-MOR single multi-file scan.
+        # Delete entries are per-partition objects (distinct paths), so a
+        # class never mixes files governed by different partitions' deletes.
+        classes: dict[tuple, list[str]] = {}
+        dentries: dict[str, dict] = {}  # delete file path -> its entry
         considered = 0
         for value, m in snap.partitions.items():
             if partitions is not None and value not in partitions:
                 continue
             stats = m.get("stats") or [None] * len(m["files"])
-            for f, fst in zip(m["files"], stats):
+            fseqs = m.get("fseq") or [0] * len(m["files"])
+            dels = m.get("deletes") or []
+            for f, fst, fs in zip(m["files"], stats, fseqs):
                 considered += 1
                 if preds and fst and self._file_pruned(fst, preds):
                     continue
-                files.append(f if os.path.isabs(f) else os.path.join(self.root, f))
-        self.last_scan = {"files_considered": considered, "files_read": len(files)}
-        if not files:
+                key = tuple(d["file"] for d in dels if d["seq"] > fs)
+                for d in dels:
+                    dentries.setdefault(d["file"], d)
+                classes.setdefault(key, []).append(
+                    f if os.path.isabs(f) else os.path.join(self.root, f)
+                )
+        n_read = sum(len(fs) for fs in classes.values())
+        self.last_scan = {
+            "files_considered": considered,
+            "files_read": n_read,
+            "delete_files": len({p for key in classes for p in key}),
+        }
+        if not classes:
             if had_where:
                 # every file provably excluded: an empty scan with the
                 # TARGET SCHEMA (read one pruned file's footer schema via
                 # Spark would defeat the point; empty relation from any
                 # file with a LIMIT 0 keeps the schema without row I/O)
-                any_m = next(iter(snap.partitions.values()))
-                probe = any_m["files"][0]
+                probe = next(
+                    (m["files"][0] for m in snap.partitions.values() if m["files"]),
+                    None,
+                )
+                if probe is None:
+                    raise ValueError("no data files in snapshot")
                 probe = probe if os.path.isabs(probe) else os.path.join(self.root, probe)
                 empty = self._reader(spark, snap).parquet(probe).limit(0)
                 return self._apply_where(empty, where)
             raise ValueError("no files match the partition filter")
-        df = self._reader(spark, snap).parquet(*files)
+        df = self._union_delete_classes(spark, snap, classes, dentries)
         return self._apply_where(df, where) if where else df
+
+    def _union_delete_classes(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        classes: dict[tuple, list[str]],
+        dentries: dict[str, dict],
+    ) -> DataFrame:
+        """One scan per delete-equivalence class, pending equality deletes
+        applied as BROADCAST left-anti joins (delete key files are tiny —
+        O(changed keys) — next to the data they mask; at 100 TB the anti
+        join is a map-side hash probe, no shuffle of the data side).  Delete
+        files sharing a key-column set are unioned into one key frame, so a
+        long upsert run adds one anti join, not one per commit."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        frames = []
+        for key, cls_files in classes.items():
+            dfc = self._reader(spark, snap).parquet(*cls_files)
+            if key:
+                by_cols: dict[tuple, list[str]] = {}
+                for p in key:
+                    cols = tuple(dentries[p]["keys"])
+                    by_cols.setdefault(cols, []).append(
+                        p if os.path.isabs(p) else os.path.join(self.root, p)
+                    )
+                for cols, paths in by_cols.items():
+                    keys_df = spark.read.parquet(*paths).select(*cols).distinct()
+                    dfc = dfc.join(F.broadcast(keys_df), on=list(cols), how="left_anti")
+            frames.append(dfc)
+        return reduce(DataFrame.unionByName, frames)
 
     @staticmethod
     def _reader(spark: SparkSession, snap: Snapshot):
@@ -1165,6 +1480,10 @@ class IceliteTable:
         return set(snap.partitions) if snap else set()
 
     def rows(self, snapshot_id: str | None = None) -> int:
+        """PHYSICAL data-file rows from the manifest.  With a pending
+        equality-delete backlog (``pending_deletes()`` non-empty) this is an
+        upper bound on live rows until compaction materializes the deletes —
+        exactly Iceberg's merge-on-read record-count semantics."""
         snap = self.snapshot(snapshot_id)
         return sum(m["rows"] for m in snap.partitions.values()) if snap else 0
 
@@ -1222,11 +1541,15 @@ class IceliteTable:
         ]
         pfs = [pq.ParquetFile(p) for p in paths]
         rows = int(sum(pf.metadata.num_rows for pf in pfs))
-        if rows != original["rows"]:
+        if not original.get("deletes") and rows != original["rows"]:
             # a writer touched the partition between snapshot() and read()
             # (the rewrite saw more/fewer rows than the manifest this
             # compaction was planned against) — conflict-skip, same as the
-            # manifest check below; never an exception in the sink path
+            # manifest check below; never an exception in the sink path.
+            # With pending equality deletes the manifest's rows are the
+            # PHYSICAL count and read() just materialized the deletes, so
+            # fewer rows are expected — the commit-time manifest equality
+            # check below is the conflict guard there.
             shutil.rmtree(commit_dir, ignore_errors=True)
             return None
         scols = self._resolve_stats_cols(pfs[0]) if pfs else []
@@ -1318,17 +1641,21 @@ class IceliteTable:
                 ]
             preds = self._normalize_preds(where_eff) if where_eff else {}
             # plan: per partition, split files into rewrite candidates
-            # (stats can't exclude a match) and carried-through survivors
+            # (stats can't exclude a match) and carried-through survivors.
+            # Pending equality deletes ride along: rewritten files apply
+            # them (rows born clean at the new seq), kept files keep their
+            # original fseq so the preserved delete entries still mask them.
             plan = {}
             for value in part_values:
                 m = snap.partitions[value]
                 stats = m.get("stats") or [None] * len(m["files"])
+                fseqs = m.get("fseq") or [0] * len(m["files"])
                 hit, kept = [], []
-                for f, fst in zip(m["files"], stats):
+                for f, fst, fs in zip(m["files"], stats, fseqs):
                     if preds and fst and self._file_pruned(fst, preds):
-                        kept.append((f, fst))
+                        kept.append((f, fst, fs))
                     else:
-                        hit.append(f)
+                        hit.append((f, fs))
                 if hit:
                     plan[value] = (m, hit, kept)
             if not plan:
@@ -1357,15 +1684,19 @@ class IceliteTable:
             parts: dict = {}
             try:
                 for value, (m, hit, kept) in plan.items():
-                    paths = [
-                        f if os.path.isabs(f) else os.path.join(self.root, f)
-                        for f in hit
-                    ]
+                    dels = m.get("deletes") or []
+                    classes: dict[tuple, list[str]] = {}
+                    for f, fs in hit:
+                        key = tuple(d["file"] for d in dels if d["seq"] > fs)
+                        classes.setdefault(key, []).append(
+                            f if os.path.isabs(f) else os.path.join(self.root, f)
+                        )
+                    src = self._union_delete_classes(
+                        spark, snap, classes, {d["file"]: d for d in dels}
+                    )
                     out_dir = os.path.join(commit_dir, f"p-{uuid.uuid4().hex[:8]}")
                     (
-                        self._reader(spark, snap)
-                        .parquet(*paths)
-                        .filter(keep_pred)
+                        src.filter(keep_pred)
                         .write.mode("overwrite")
                         .parquet(out_dir)
                     )
@@ -1382,14 +1713,15 @@ class IceliteTable:
                     scols = (
                         self._resolve_stats_cols(new_files[0][1]) if new_files else []
                     )
-                    files = [f for f, _ in kept]
-                    stats = [s for _, s in kept]
+                    files = [f for f, _, _ in kept]
+                    stats = [s for _, s, _ in kept]
+                    fseq: list = [fs for _, _, fs in kept]
                     # surviving rows = carried files' rows + rewritten rows
                     kept_rows = 0
                     if kept:
                         kpaths = [
                             f if os.path.isabs(f) else os.path.join(self.root, f)
-                            for f, _ in kept
+                            for f, _, _ in kept
                         ]
                         kept_rows = sum(
                             pq.ParquetFile(p).metadata.num_rows for p in kpaths
@@ -1398,11 +1730,20 @@ class IceliteTable:
                     for p, pf in new_files:
                         files.append(os.path.relpath(p, self.root))
                         stats.append(_file_stats(pf, scols, self.STATS_MAX_STR))
+                        fseq.append(None)  # born at the commit seq (stamped)
                     parts[value] = {
                         "files": files,
                         "rows": int(kept_rows + new_rows),
                         "stats": stats,
                     }
+                    if dels or any(fs for fs in fseq[: len(kept)]):
+                        # preserve MOR state: pending deletes still mask the
+                        # carried files (original fseq); rewritten files are
+                        # born at this commit's seq, past every pending
+                        # delete — their rows already had the deletes applied
+                        parts[value]["fseq"] = fseq
+                        if dels:
+                            parts[value]["deletes"] = dels
                 for attempt in range(20):
                     prev = self.snapshot()
                     if any(
@@ -1484,10 +1825,16 @@ class IceliteTable:
             for s in kept:
                 for m in s.partitions.values():
                     live_files.update(m["files"])
+                    live_files.update(d["file"] for d in m.get("deletes") or [])
             dead_files: set[str] = set()
             for s in expired:
                 for m in s.partitions.values():
                     dead_files.update(f for f in m["files"] if f not in live_files)
+                    dead_files.update(
+                        d["file"]
+                        for d in m.get("deletes") or []
+                        if d["file"] not in live_files
+                    )
             # destructive phase begins: commits self-serialize via the gen
             # CAS, but GC relies on the LOCK for exclusion — and the token
             # lease's steal/restore dance has a narrow dual-holder window
@@ -1516,12 +1863,22 @@ class IceliteTable:
                     os.unlink(self._gen_path(s.seq))
                 except FileNotFoundError:
                     pass  # pre-CAS table
-            # drop now-empty commit dirs so the data tree stays listable
+            # drop now-empty commit dirs so the data tree stays listable.
+            # Spark/Hadoop leave _SUCCESS and .crc sidecars behind in every
+            # commit dir — they are write-protocol artifacts, never
+            # referenced by any manifest, so a dir holding ONLY markers is
+            # empty for GC purposes (otherwise 10^5 commits pin 10^5 husk
+            # dirs forever)
+            def _is_marker(name: str) -> bool:
+                return (
+                    name == "_SUCCESS" or name.endswith(".crc") or name.startswith("._")
+                )
+
             if os.path.isdir(self.data_dir):
                 for entry in os.listdir(self.data_dir):
                     d = os.path.join(self.data_dir, entry)
-                    if os.path.isdir(d) and not any(
-                        files for _, _, files in os.walk(d)
+                    if os.path.isdir(d) and all(
+                        _is_marker(f) for _, _, files in os.walk(d) for f in files
                     ):
                         import shutil
 
