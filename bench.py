@@ -106,6 +106,9 @@ HEADLINE = [
     "knn_ivf",
     "winnow_overlap",
     "compression_roundtrip",
+    # r6: merge-on-read upsert through the icelite storage layer (write +
+    # equality-delete commit + pending-delete anti-join read, end-to-end)
+    "mor_upsert",
     # admitted once their kernels went batched: dtw_path's DP+backtrack is
     # one vectorized pass per length-class; number_peaks stays per-series
     # (ridge linkage is sequential) but spreads round-robin across cores

@@ -2762,6 +2762,94 @@ FROM comp GROUP BY user_id
 """.replace("ff_src", "d")
 
 
+# ------------------------------------------------------- storage layer (MOR)
+
+#: session-scoped scratch root for the icelite driver query — one mkdtemp per
+#: process (repeat runs re-roll the SAME table: overwrite replaces every
+#: partition, so results are run-independent), removed at interpreter exit.
+_MOR_SCRATCH: list[str] = []
+
+
+def _mor_scratch_dir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _MOR_SCRATCH:
+        d = tempfile.mkdtemp(prefix="hdstats_mor_q_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _MOR_SCRATCH.append(d)
+    return _MOR_SCRATCH[0]
+
+
+def q_mor_upsert(spark, sf_dir):
+    """Merge-on-read upsert end-to-end through the icelite table layer
+    (SURVEY §2.2 storage; the Iceberg-v2 equality-delete protocol): land
+    events in a partitioned icelite table, ``upsert()`` a derived batch
+    (values negated for ``event_id % 10 == 3``) as ONE O(batch) commit —
+    data files plus per-partition equality-delete key files, no existing
+    file read or rewritten — then read back through the PENDING-delete
+    path, i.e. the fmt-3 fseq grouping + broadcast left-anti join that
+    masks older copies of the upserted keys while the batch's own rows
+    (born at the delete's seq) survive.  The oracle replays the merge
+    relationally (anti-join + union).  Decimal sums keep the hash exact
+    under any partitioning; compaction ≡ pending-read equivalence is
+    pytest-anchored in tests/test_icelite_mor.py.  The reference has no
+    storage layer (inputs are in-memory arrays, tests/test_pcm.py:10) —
+    this row guards the engine's own claimed Iceberg semantics."""
+    import os
+
+    from .icelite import IceliteTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = IceliteTable(os.path.join(_mor_scratch_dir(), "mor_upsert"))
+    # partition on a COPY of event_type: the partition column lives in
+    # manifest keys (not data files), and this query groups on it after read
+    # bypart clustering: one file per partition value — the documented mode
+    # for small commits (this is a correctness mirror over ≤1M rows; a real
+    # 100-TB load would use asis/roundrobin for write parallelism)
+    t.overwrite_partitions(
+        ev.withColumn("pt", F.col("event_type")), "pt", cluster="bypart"
+    )
+    batch = ev.filter(F.col("event_id") % 10 == F.lit(3)).select(
+        "event_id",
+        "event_type",
+        (-F.col("value")).alias("value"),
+        F.col("event_type").alias("pt"),
+    )
+    t.upsert(batch, key_cols=["event_id"], partition_col="pt", cluster="bypart")
+    merged = t.read(spark)
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(
+            F.when(F.col("event_id") % 10 == F.lit(3), F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("sum_upd"),
+    )
+
+
+SQL_MOR_UPSERT = """
+WITH batch AS (
+  SELECT event_id, event_type, -value AS value
+  FROM events WHERE event_id % 10 = 3
+), merged AS (
+  SELECT e.event_id, e.event_type, e.value
+  FROM events e ANTI JOIN batch b ON e.event_id = b.event_id
+  UNION ALL
+  SELECT event_id, event_type, value FROM batch
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(CASE WHEN event_id % 10 = 3 THEN value ELSE 0.0 END
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_upd
+FROM merged GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver's correctness gate checks at most 50 queries() entries per
@@ -2785,7 +2873,6 @@ def queries():
         "wiener_smooth": q_wiener_smooth,
         "sessionize": q_sessionize,
         "session_concurrency": q_session_concurrency,
-        "events_pivot": q_events_pivot,
         "events_rollup_totals": q_events_rollup_totals,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -2829,6 +2916,8 @@ def queries():
         "winnow_overlap": q_winnow_overlap,
         "multimodal_features": q_multimodal_features,
         "compression_roundtrip": q_compression_roundtrip,
+        # storage layer: merge-on-read upsert through icelite (r6)
+        "mor_upsert": q_mor_upsert,
     }
 
 
@@ -2838,6 +2927,10 @@ def bench_only_queries():
     queries() and its kernel/recall is pytest-anchored — see COVERAGE.md),
     still benched every round so per-query perf history stays comparable."""
     return {
+        # r6: retired for mor_upsert — its whole plan algebra (groupBy +
+        # conditional sums) is a strict subset of the hash-green rollup_1m
+        # channelize pivot; nothing unique remains to guard
+        "events_pivot": q_events_pivot,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "decontaminate_bloom": q_decontaminate_bloom,
         "mad_vs_centroid": q_mad_vs_centroid,
@@ -2906,4 +2999,5 @@ def oracles():
         "multimodal_features": _sql_multimodal_features(),
         "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,
         "winnow_overlap": _sql_winnow_overlap(),
+        "mor_upsert": SQL_MOR_UPSERT,
     }
