@@ -320,6 +320,78 @@ def _ranges_disjoint(lo, hi, op: str, args: tuple) -> bool:
     raise ValueError(f"unknown predicate op {op!r}")
 
 
+def _z_orderable(col, dtype):
+    """A Column cast to DOUBLE for z-value scaling; numeric, timestamp and
+    date columns are supported (string z-ordering needs a collation-aware
+    encoding — out of scope, callers cluster on a hash or prefix int)."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    if isinstance(dtype, NumericType):
+        return col.cast("double")
+    if isinstance(dtype, TimestampType):
+        return col.cast("double")  # seconds since epoch
+    if isinstance(dtype, DateType):
+        return col.cast("timestamp").cast("double")
+    raise ValueError(f"z-order unsupported for column type {dtype}")
+
+
+def cluster_zorder(
+    df: DataFrame, cols: list[str], nparts: int | None = None, bits: int = 8
+) -> DataFrame:
+    """Z-ORDER (Morton-curve) clustering: return ``df`` repartitioned by
+    range of the interleaved-bit key of ``cols`` and sorted by it within
+    partitions, the key itself dropped.  Write the result with
+    ``cluster="asis"`` (or pass the column list to ``compact_partition``)
+    and every output file covers a small HYPER-RECTANGLE of the value
+    space, so the fmt-2 per-file min/max stay tight on EVERY clustered
+    column simultaneously — ``read(where=...)`` then skips files for
+    predicates on any of them.  Single-column range clustering only
+    achieves this for its one column; on a 100-TB table queried both
+    by series key and by time, z-order is the layout that makes BOTH
+    point lookups metadata-bounded.  This is Iceberg's
+    ``rewrite_data_files(strategy => 'sort', sort_order => zorder(...))``
+    re-expressed as a pure DataFrame transform (one bounded driver
+    collect of 2·len(cols) scalars for the scaling bounds; the Morton
+    key is built from JVM bit ops — no Python UDF, stays codegen'd).
+
+    ``bits`` per-column resolution (default 8 → 256 buckets/column) is
+    plenty to separate files: skipping happens at file granularity, so
+    resolution beyond ~#files per partition buys nothing.  NULLs map to
+    bucket 0 (lowest cell, mirroring NULLS FIRST)."""
+    from pyspark.sql import functions as F
+
+    if not cols or len(cols) * bits > 63:
+        raise ValueError("need 1 ≤ len(cols) and len(cols)*bits ≤ 63")
+    n = nparts or df.sparkSession.sparkContext.defaultParallelism
+    aggs = []
+    for i, c in enumerate(cols):
+        cc = _z_orderable(F.col(c), df.schema[c].dataType)
+        aggs += [F.min(cc).alias(f"lo{i}"), F.max(cc).alias(f"hi{i}")]
+    b = df.agg(*aggs).collect()[0]
+    top = (1 << bits) - 1
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo = float(b[f"lo{i}"]) if b[f"lo{i}"] is not None else 0.0
+        hi = float(b[f"hi{i}"]) if b[f"hi{i}"] is not None else 0.0
+        span = (hi - lo) or 1.0
+        cc = _z_orderable(F.col(c), df.schema[c].dataType)
+        s = F.floor((cc - F.lit(lo)) / F.lit(span) * F.lit(float(top))).cast("long")
+        s = F.coalesce(
+            F.greatest(F.lit(0).cast("long"), F.least(s, F.lit(top).cast("long"))),
+            F.lit(0).cast("long"),
+        )
+        for bpos in range(bits):
+            bit = F.shiftright(s, bpos).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, bpos * k + i))
+    return (
+        df.withColumn("__z__", z)
+        .repartitionByRange(max(1, n), "__z__")
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+    )
+
+
 class _Heartbeat(threading.Thread):
     """Touches the lock token's mtime while the holder works, so a live
     holder is never mistaken for a dead one (lease renewal).
@@ -1496,7 +1568,7 @@ class IceliteTable:
         value: str,
         target_files: int = 1,
         lineage: dict | None = None,
-        cluster_col: str | None = None,
+        cluster_col: str | list[str] | None = None,
     ) -> Snapshot | None:
         """Rewrite one partition's data files into ``target_files`` files —
         the icelite analogue of Iceberg's rewriteDataFiles (small-file
@@ -1519,7 +1591,12 @@ class IceliteTable:
             return None
         original = prev.partitions[value]
         df = self.read(spark, partitions=[value])
-        if cluster_col is not None:
+        if isinstance(cluster_col, (list, tuple)):
+            # multi-column rewrite: z-order the partition so per-file
+            # min/max stay tight on EVERY listed column (Iceberg's
+            # rewrite_data_files sort/zorder strategy)
+            df = cluster_zorder(df, list(cluster_col), nparts=max(1, target_files))
+        elif cluster_col is not None:
             # preserve a write-time clustering through the rewrite: a plain
             # coalesce would interleave buckets into each output file and
             # destroy the tight per-file min/max that makes read(where=)
