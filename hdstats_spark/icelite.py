@@ -1353,6 +1353,45 @@ class IceliteTable:
         range covers it instead of every file of the matching day.
         ``self.last_scan`` records (files_considered, files_read) for plan
         assertions and the bench harness."""
+        had_where = bool(where)
+        snap, classes, dentries, where = self._plan_scan(
+            snapshot_id, partitions, where, as_of
+        )
+        if not classes:
+            if had_where:
+                # every file provably excluded: an empty scan with the
+                # TARGET SCHEMA (read one pruned file's footer schema via
+                # Spark would defeat the point; empty relation from any
+                # file with a LIMIT 0 keeps the schema without row I/O)
+                probe = next(
+                    (m["files"][0] for m in snap.partitions.values() if m["files"]),
+                    None,
+                )
+                if probe is None:
+                    raise ValueError("no data files in snapshot")
+                probe = probe if os.path.isabs(probe) else os.path.join(self.root, probe)
+                empty = self._reader(spark, snap).parquet(probe).limit(0)
+                return self._apply_where(empty, where)
+            raise ValueError("no files match the partition filter")
+        df = self._union_delete_classes(spark, snap, classes, dentries)
+        return self._apply_where(df, where) if where else df
+
+    def _plan_scan(
+        self,
+        snapshot_id: str | None = None,
+        partitions: list[str] | None = None,
+        where: dict | None = None,
+        as_of: float | None = None,
+    ) -> tuple[Snapshot, dict, dict, dict | None]:
+        """Scan planning shared by ``read`` and the Spark data source
+        (icelite_source): resolve the target snapshot, apply manifest-level
+        partition pruning (incl. routing a partition-column predicate out of
+        ``where``), file-level min/max skipping, and group surviving data
+        files into delete-equivalence classes.  Returns ``(snap, classes,
+        dentries, residual_where)`` where ``residual_where`` is the exact
+        row-level filter the caller must still apply (``where`` minus the
+        partition-column predicate, which partition pruning satisfied
+        exactly).  Sets ``self.last_scan``."""
         if as_of is not None and snapshot_id is not None:
             raise ValueError("pass snapshot_id OR as_of, not both")
         snap = self.snapshot_as_of(as_of) if as_of is not None else self.snapshot(snapshot_id)
@@ -1362,7 +1401,6 @@ class IceliteTable:
                 + (f" as of {as_of}" if as_of is not None else "")
             )
         preds = None
-        had_where = bool(where)
         if where and snap.partition_col is not None and snap.partition_col in where:
             # the partition column lives in manifest KEYS, not data files:
             # its predicate prunes partitions exactly (value == key) and
@@ -1422,24 +1460,7 @@ class IceliteTable:
             "files_read": n_read,
             "delete_files": len({p for key in classes for p in key}),
         }
-        if not classes:
-            if had_where:
-                # every file provably excluded: an empty scan with the
-                # TARGET SCHEMA (read one pruned file's footer schema via
-                # Spark would defeat the point; empty relation from any
-                # file with a LIMIT 0 keeps the schema without row I/O)
-                probe = next(
-                    (m["files"][0] for m in snap.partitions.values() if m["files"]),
-                    None,
-                )
-                if probe is None:
-                    raise ValueError("no data files in snapshot")
-                probe = probe if os.path.isabs(probe) else os.path.join(self.root, probe)
-                empty = self._reader(spark, snap).parquet(probe).limit(0)
-                return self._apply_where(empty, where)
-            raise ValueError("no files match the partition filter")
-        df = self._union_delete_classes(spark, snap, classes, dentries)
-        return self._apply_where(df, where) if where else df
+        return snap, classes, dentries, where
 
     def _union_delete_classes(
         self,
@@ -1558,6 +1579,125 @@ class IceliteTable:
         exactly Iceberg's merge-on-read record-count semantics."""
         snap = self.snapshot(snapshot_id)
         return sum(m["rows"] for m in snap.partitions.values()) if snap else 0
+
+    # ------------------------------------------------- incremental scans
+
+    def appended_between(
+        self,
+        start_seq: int,
+        end_snapshot_id: str | None = None,
+        on_replace: str = "error",
+    ) -> tuple["Snapshot | None", list[dict]]:
+        """Plan an INCREMENTAL APPEND SCAN (Iceberg's
+        ``incremental-from-snapshot`` / streaming-read semantics): the data
+        files added by append commits with ``start_seq < seq <=
+        end.seq``, oldest commit first.  Walks the snapshot chain backward
+        via raw metadata loads — O(commits in range) tiny JSON reads, no
+        manifest resolution, no file I/O — which is what makes a streaming
+        poll against a 10^5-commit table cheap.
+
+        ``on_replace``: a replace commit (overwrite/compact/delete_where/
+        schema rewrite) inside the range cannot be represented as appended
+        rows — ``"error"`` (default) raises, ``"skip"`` ignores it (safe
+        for content-preserving compaction; an overwrite's NEW files are
+        silently missed — the caller opted in, exactly Iceberg's
+        ``streaming-skip-overwrite-snapshots``).  Equality-delete commits
+        (mode append, empty file list) contribute no files: append scans
+        never retract — the standard changelog-free contract.
+
+        Returns ``(end_snapshot_raw, adds)`` where each add is
+        ``{"partition", "file", "seq"}``.  Raises if the chain below the
+        end snapshot was truncated by ``expire_snapshots`` before reaching
+        ``start_seq`` (the offset is gone — same failure Iceberg streams
+        surface when a start snapshot expires)."""
+        if on_replace not in ("error", "skip"):
+            raise ValueError("on_replace must be 'error' or 'skip'")
+        sid = end_snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            return None, []
+        end = self._load_raw(sid)
+        adds: list[dict] = []
+        s = end
+        while s.seq > start_seq:
+            d = s.delta
+            if d is None:
+                # pre-delta legacy checkpoint: files can't be attributed to
+                # individual commits below this point
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} (seq {s.seq}) predates delta "
+                    "metadata; incremental scan cannot cross it"
+                )
+            if d["mode"] != "append":
+                if on_replace == "error":
+                    raise ValueError(
+                        f"snapshot {s.snapshot_id} (op={s.operation!r}, seq "
+                        f"{s.seq}) replaced data files; an incremental append "
+                        "scan cannot represent it — pass on_replace='skip' to "
+                        "ignore replace commits (content-preserving for "
+                        "compaction; an overwrite's new rows are missed)"
+                    )
+            else:
+                for value, m in d["parts"].items():
+                    for f in m["files"]:
+                        adds.append({"partition": value, "file": f, "seq": s.seq})
+            if s.seq - 1 <= start_seq or s.parent_id is None:
+                break
+            try:
+                s = self._load_raw(s.parent_id)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"incremental start seq {start_seq} has expired: the "
+                    f"chain below seq {s.seq} was garbage-collected by "
+                    "expire_snapshots"
+                ) from None
+        adds.reverse()  # walk collected newest-first; emit oldest commit first
+        return end, adds
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str | None = None,
+        to_snapshot_id: str | None = None,
+        on_replace: str = "error",
+    ) -> DataFrame:
+        """Rows APPENDED strictly after ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: current head) — the batch
+        face of the incremental append scan (CDC-style "what's new since
+        the snapshot I processed last").  ``from_snapshot_id=None`` reads
+        everything since the table's creation.  The scan is pinned to the
+        END snapshot's schema (old files NULL-backfill evolved columns,
+        exactly like a full read of that snapshot).  See
+        ``appended_between`` for ``on_replace`` and expiry semantics."""
+        start_seq = 0
+        if from_snapshot_id is not None:
+            start_seq = self._load_raw(from_snapshot_id).seq
+        end, adds = self.appended_between(start_seq, to_snapshot_id, on_replace)
+        if end is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        files = [
+            f if os.path.isabs(f) else os.path.join(self.root, f)
+            for f in (a["file"] for a in adds)
+        ]
+        if files:
+            return self._reader(spark, end).parquet(*files)
+        if end.schema is not None:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(end.schema))
+        # empty range on a pre-evolution table: borrow any data file's
+        # schema via a LIMIT 0 scan (no row I/O)
+        probe = next(
+            (
+                m["files"][0]
+                for m in self._resolve(end).partitions.values()
+                if m["files"]
+            ),
+            None,
+        )
+        if probe is None:
+            raise ValueError("empty incremental range on a table with no data files")
+        probe = probe if os.path.isabs(probe) else os.path.join(self.root, probe)
+        return spark.read.parquet(probe).limit(0)
 
     # ------------------------------------------------------- maintenance
 

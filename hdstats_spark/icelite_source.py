@@ -1,0 +1,306 @@
+"""icelite as a first-class Spark data source (PySpark 4 Python Data Source API).
+
+Register once per session (idempotent)::
+
+    from hdstats_spark.icelite_source import IceliteDataSource
+    spark.dataSource.register(IceliteDataSource)
+
+Batch::
+
+    df = spark.read.format("icelite").load("/path/to/table")
+    df = (spark.read.format("icelite")
+          .option("snapshot_id", sid)              # time travel by id
+          .option("as_of", "1723900000.0")         # ... or by timestamp
+          .option("partitions", '["2025-01-01"]')  # manifest-level pruning
+          .load(root))
+
+Filters pushed by Catalyst (``df.filter(...)``) reach ``pushFilters`` and
+drive icelite's file-level min/max skipping (the same ``_plan_scan`` the
+native ``IceliteTable.read`` uses); every filter is handed back to Spark
+as unsupported so Spark still applies it exactly — pruning is a provable
+superset of the predicate, so results are identical with less I/O.  This
+is the route a 100-TB deployment wants: the point lookup a user writes as
+``spark.read.format("icelite").load(root).filter("conv_id = 'c17'")``
+touches only the files whose recorded range covers ``c17``.
+
+Pending merge-on-read equality deletes are applied inside the scan
+(per-file Arrow anti-joins against the tiny delete key files), so the
+data source returns exactly what ``IceliteTable.read`` returns.
+
+Streaming::
+
+    s = spark.readStream.format("icelite").load(root)
+
+Offsets are snapshot SEQUENCE NUMBERS: batch (start, end] re-plans via
+``IceliteTable.appended_between`` to the same immutable file set on every
+replay (snapshots never mutate), giving deterministic re-execution and
+exactly-once delivery with an idempotent sink.  Append commits only —
+Iceberg's streaming-read contract; ``option("on_replace", "skip")``
+ignores replace commits (content-preserving for compaction), and a start
+offset older than the retained chain fails loudly (``expire_snapshots``
+GC'd it).  ``option("starting", "latest")`` begins at the current head
+instead of the table's first commit.
+
+The reference has no storage layer at all (inputs are in-memory arrays,
+reference ``tests/test_pcm.py:10``); this module is the engine's own
+Iceberg-semantics surface wired into Spark's native reader API, so plain
+``spark.read`` / ``spark.readStream`` users never touch ``IceliteTable``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from .icelite import IceliteTable
+
+__all__ = ["IceliteDataSource", "register"]
+
+
+def register(spark) -> None:
+    """Register the ``icelite`` format on this session (safe to repeat)."""
+    spark.dataSource.register(IceliteDataSource)
+
+
+@dataclass
+class _FileSlice(InputPartition):
+    """One data file plus the equality-delete files that mask it.
+
+    ``path=None`` is the empty-scan sentinel: Spark's planner needs the
+    partition list itself, and a reader that yields nothing is the
+    cheapest representation of "every file was pruned"."""
+
+    path: str | None
+    # ((absolute delete-file path, (key column, ...)), ...)
+    deletes: tuple = field(default_factory=tuple)
+
+
+def _read_slice(part: _FileSlice, spark_schema: StructType) -> Iterator:
+    """Executor-side scan of one slice: read the parquet file with pyarrow,
+    apply pending equality deletes (anti-join against the tiny key files —
+    the Arrow twin of the JVM broadcast left-anti in
+    ``IceliteTable._union_delete_classes``), then align to the pinned
+    snapshot schema: evolved columns NULL-backfill, stale extras drop,
+    types cast — the same read-time evolution contract as ``_reader``.
+    Yields Arrow record batches (zero-copy into Spark's Arrow ingest)."""
+    if part.path is None:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    tbl = pq.read_table(part.path)
+    by_cols: dict[tuple, list[str]] = {}
+    for dpath, cols in part.deletes:
+        by_cols.setdefault(tuple(cols), []).append(dpath)
+    for cols, paths in by_cols.items():
+        if any(c not in tbl.column_names for c in cols):
+            # key column absent from this (pre-evolution) file → reads as
+            # NULL → an equality delete can never match it; skip the join
+            continue
+        keys = pa.concat_tables(
+            [pq.read_table(p, columns=list(cols)) for p in paths],
+            promote_options="permissive",
+        )
+        # dedup keys (hash-table hygiene) and align dtypes to the data side
+        keys = keys.group_by(list(cols)).aggregate([])
+        keys = keys.select(list(cols)).cast(
+            pa.schema([tbl.schema.field(c) for c in cols])
+        )
+        tbl = tbl.join(keys, keys=list(cols), join_type="left anti")
+    target = to_arrow_schema(spark_schema)
+    cols_out = []
+    for f in target:
+        if f.name in tbl.column_names:
+            col = tbl.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols_out.append(col)
+        else:
+            cols_out.append(pa.nulls(tbl.num_rows, f.type))
+    yield from pa.table(cols_out, schema=target).to_batches(max_chunksize=1 << 16)
+
+
+def _filter_spec(f) -> tuple[str, tuple] | None:
+    """Map one pushed Catalyst filter to an icelite ``where`` spec, or None
+    when it can't drive file skipping (nested column, unsupported shape).
+    Unmappable filters cost nothing: Spark re-applies every filter."""
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, EqualTo):
+        return col, ("=", f.value)
+    if isinstance(f, GreaterThan):
+        return col, (">", f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return col, (">=", f.value)
+    if isinstance(f, LessThan):
+        return col, ("<", f.value)
+    if isinstance(f, LessThanOrEqual):
+        return col, ("<=", f.value)
+    if isinstance(f, In):
+        return col, ("in", list(f.value))
+    return None
+
+
+class IceliteBatchReader(DataSourceReader):
+    def __init__(self, root: str, options: dict, schema: StructType):
+        self._root = root
+        self._options = options
+        self._schema = schema
+        self._pushed: dict = {}
+
+    def pushFilters(self, filters):
+        """Harvest min/max-skippable predicates; return EVERY filter as
+        unsupported so Spark applies them exactly (icelite stats pruning is
+        a superset — a file is skipped only when its range provably
+        excludes the predicate).  First predicate per column wins; skipping
+        fewer files is always correct."""
+        wanted: dict = {}
+        for f in filters:
+            spec = _filter_spec(f)
+            if spec is not None and spec[0] not in wanted:
+                wanted[spec[0]] = spec[1]
+            yield f
+        self._pushed = wanted
+
+    def partitions(self):
+        t = IceliteTable(self._root)
+        pj = self._options.get("partitions")
+        as_of = self._options.get("as_of")
+        snap, classes, dentries, _ = t._plan_scan(
+            snapshot_id=self._options.get("snapshot_id"),
+            partitions=json.loads(pj) if pj else None,
+            where=dict(self._pushed) or None,
+            as_of=float(as_of) if as_of else None,
+        )
+        out = []
+        for key, files in classes.items():
+            dels = tuple(
+                (
+                    p if os.path.isabs(p) else os.path.join(t.root, p),
+                    tuple(dentries[p]["keys"]),
+                )
+                for p in key
+            )
+            out.extend(_FileSlice(f, dels) for f in files)
+        return out or [_FileSlice(None)]
+
+    def read(self, partition: _FileSlice):
+        return _read_slice(partition, self._schema)
+
+
+class IceliteStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, options: dict, schema: StructType):
+        self._root = root
+        self._schema = schema
+        self._on_replace = options.get("on_replace", "error")
+        self._starting = options.get("starting", "earliest")
+        if self._starting not in ("earliest", "latest"):
+            raise ValueError("starting must be 'earliest' or 'latest'")
+
+    def _head(self) -> dict:
+        t = IceliteTable(self._root)
+        sid = t.current_snapshot_id()
+        if sid is None:
+            return {"seq": 0, "sid": None}
+        s = t._load_raw(sid)
+        return {"seq": s.seq, "sid": s.snapshot_id}
+
+    def initialOffset(self) -> dict:
+        return self._head() if self._starting == "latest" else {"seq": 0, "sid": None}
+
+    def latestOffset(self) -> dict:
+        return self._head()
+
+    def partitions(self, start: dict, end: dict):
+        if end.get("sid") is None or end["seq"] <= start["seq"]:
+            return []
+        t = IceliteTable(self._root)
+        _, adds = t.appended_between(start["seq"], end["sid"], self._on_replace)
+        return [
+            _FileSlice(
+                a["file"]
+                if os.path.isabs(a["file"])
+                else os.path.join(t.root, a["file"])
+            )
+            for a in adds
+        ]
+
+    def read(self, partition: _FileSlice):
+        return _read_slice(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class IceliteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "icelite"
+
+    def _root(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("icelite: table root required — .load('/path/to/table')")
+        return p
+
+    def schema(self) -> StructType:
+        t = IceliteTable(self._root())
+        as_of = self.options.get("as_of")
+        snap = (
+            t.snapshot_as_of(float(as_of))
+            if as_of
+            else t.snapshot(self.options.get("snapshot_id"))
+        )
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {t.root}")
+        if snap.schema is not None:
+            st = StructType.fromJson(snap.schema)
+            # relax to nullable: Spark's own file scans surface every
+            # column nullable, and read-time evolution NULL-backfills
+            # columns absent from old files — a write-time non-null flag
+            # must not leak into the read schema
+            from pyspark.sql.types import StructField
+
+            return StructType(
+                [StructField(f.name, f.dataType, True, f.metadata) for f in st.fields]
+            )
+        # pre-evolution metadata: the files' own footer schema (same
+        # fallback as IceliteTable._reader)
+        probe = next(
+            (m["files"][0] for m in snap.partitions.values() if m["files"]), None
+        )
+        if probe is None:
+            raise ValueError("no data files in snapshot — cannot infer schema")
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        probe = probe if os.path.isabs(probe) else os.path.join(t.root, probe)
+        return from_arrow_schema(pq.ParquetFile(probe).schema_arrow)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return IceliteBatchReader(self._root(), dict(self.options), schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return IceliteStreamReader(self._root(), dict(self.options), schema)

@@ -54,6 +54,10 @@ def get_spark(
         # local inputs)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # let Catalyst hand filters to Python data sources (icelite_source
+        # turns them into manifest + file-level min/max skipping; every
+        # filter is still re-applied by Spark, so semantics are exact)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", driver_memory)

@@ -1,0 +1,212 @@
+"""icelite as a native Spark data source (icelite_source.py): batch reads
+must equal IceliteTable.read byte-for-byte (incl. pending merge-on-read
+deletes and schema evolution), pushed Catalyst filters must SKIP files
+without changing results, and the streaming source must deliver each
+append commit exactly once across checkpointed restarts — the
+snapshot-seq offset contract.  read_incremental is the batch face of the
+same incremental append scan."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdstats_spark.icelite import IceliteTable
+from hdstats_spark.icelite_source import IceliteBatchReader, register
+
+
+def _batch(spark, lo, hi, v=1.0):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("event_id"),
+        F.lit(float(v)).alias("value"),
+        F.concat(F.lit("d"), (F.col("id") % 3).cast("string")).alias("pt"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def reg(spark):
+    register(spark)
+    return spark
+
+
+def test_batch_read_equals_engine_read_with_pending_deletes(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    t.append(_batch(reg, 0, 600), partition_col="pt", cluster="bypart")
+    # pending equality deletes: the data source must apply the same
+    # fseq-scoped anti-join the engine read applies
+    t.upsert(
+        _batch(reg, 100, 200, v=-2.0),
+        key_cols=["event_id"],
+        partition_col="pt",
+        cluster="bypart",
+    )
+    eng = t.read(reg)
+    ds = reg.read.format("icelite").load(t.root)
+    assert ds.schema == eng.schema
+    assert _rows(ds) == _rows(eng)
+
+
+def test_pushed_filters_skip_files_and_stay_exact(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    # bypart clustering → one file per partition value → disjoint per-file
+    # event_id ranges across partitions is NOT guaranteed, so cluster a
+    # second table by range on event_id for a provable skip
+    df = reg.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.lit("all").alias("pt"),
+    ).repartitionByRange(6, "event_id")
+    t.append(df, partition_col="pt", cluster="asis")
+    total_files = sum(len(m["files"]) for m in t.snapshot().partitions.values())
+    assert total_files >= 4
+
+    ds = reg.read.format("icelite").load(t.root)
+    got = ds.filter(F.col("event_id") < 100)
+    assert got.count() == 100
+    assert got.agg(F.sum("event_id")).collect()[0][0] == sum(range(100))
+
+    # observe the skip at the planner level: the reader's partitions()
+    # after pushFilters must carry strictly fewer file slices
+    from pyspark.sql.datasource import LessThan
+
+    r = IceliteBatchReader(t.root, {}, ds.schema)
+    list(r.pushFilters([LessThan(("event_id",), 100)]))
+    pruned = [p for p in r.partitions() if p.path is not None]
+    assert 0 < len(pruned) < total_files
+
+
+def test_prune_everything_yields_empty_with_schema(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    t.append(_batch(reg, 0, 100), partition_col="pt", cluster="bypart")
+    ds = reg.read.format("icelite").load(t.root).filter(F.col("event_id") > 10**9)
+    assert ds.count() == 0
+    assert [f.name for f in ds.schema.fields] == ["event_id", "value"]
+
+
+def test_schema_evolution_and_snapshot_time_travel(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    s1 = t.append(_batch(reg, 0, 50), partition_col="pt", cluster="bypart")
+    t.append(
+        _batch(reg, 50, 60).withColumn("lang", F.lit("en")),
+        partition_col="pt",
+        cluster="bypart",
+    )
+    cur = reg.read.format("icelite").load(t.root)
+    assert "lang" in cur.columns
+    # old files NULL-backfill the evolved column
+    assert cur.filter(F.col("lang").isNull()).count() == 50
+    assert cur.filter(F.col("lang") == "en").count() == 10
+    # time travel by snapshot id reads under the OLD schema
+    old = (
+        reg.read.format("icelite")
+        .option("snapshot_id", s1.snapshot_id)
+        .load(t.root)
+    )
+    assert "lang" not in old.columns
+    assert old.count() == 50
+
+
+def test_partitions_option_prunes_manifest(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    t.append(_batch(reg, 0, 300), partition_col="pt", cluster="bypart")
+    one = (
+        reg.read.format("icelite")
+        .option("partitions", '["d0"]')
+        .load(t.root)
+    )
+    assert one.count() == t.read(reg, partitions=["d0"]).count() > 0
+
+
+def test_read_incremental_appends_only(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    s1 = t.append(_batch(reg, 0, 100), partition_col="pt", cluster="bypart")
+    t.append(_batch(reg, 100, 150, v=2.0), partition_col="pt", cluster="bypart")
+    inc = t.read_incremental(reg, from_snapshot_id=s1.snapshot_id)
+    assert sorted(r.event_id for r in inc.collect()) == list(range(100, 150))
+    # full-history incremental == full read (append-only table)
+    assert _rows(t.read_incremental(reg)) == _rows(t.read(reg))
+    # empty range → empty frame with the table schema
+    head = t.snapshot().snapshot_id
+    empty = t.read_incremental(reg, from_snapshot_id=head)
+    assert empty.count() == 0 and empty.columns == ["event_id", "value"]
+
+
+def test_read_incremental_replace_guard(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    s1 = t.append(_batch(reg, 0, 120), partition_col="pt", cluster="bypart")
+    t.compact_partition(reg, "pt", "d0", target_files=1)
+    t.append(_batch(reg, 120, 130, v=3.0), partition_col="pt", cluster="bypart")
+    with pytest.raises(ValueError, match="replaced data files"):
+        t.read_incremental(reg, from_snapshot_id=s1.snapshot_id)
+    got = t.read_incremental(
+        reg, from_snapshot_id=s1.snapshot_id, on_replace="skip"
+    )
+    assert sorted(r.event_id for r in got.collect()) == list(range(120, 130))
+
+
+def test_streaming_exactly_once_across_restarts(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    t.append(_batch(reg, 0, 400), partition_col="pt", cluster="bypart")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(**opts):
+        rd = reg.readStream.format("icelite")
+        for k, v in opts.items():
+            rd = rd.option(k, v)
+        q = (
+            rd.load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert reg.read.parquet(out).count() == 400
+    # upsert = append commit (data + delete files): the append scan emits
+    # the batch's own rows; masked older copies are NOT retracted
+    # (standard append-scan semantics, documented in appended_between)
+    t.upsert(
+        _batch(reg, 0, 30, v=-1.0),
+        key_cols=["event_id"],
+        partition_col="pt",
+        cluster="bypart",
+    )
+    drain()
+    assert reg.read.parquet(out).count() == 430
+    # a replace commit poisons the stream under the default...
+    t.compact_partition(reg, "pt", "d1", target_files=1)
+    t.append(_batch(reg, 400, 440, v=5.0), partition_col="pt", cluster="bypart")
+    with pytest.raises(Exception, match="STREAM_FAILED|replaced data files"):
+        drain()
+    # ...and on_replace=skip resumes from the same checkpoint, delivering
+    # ONLY the 40 new rows — the compaction rewrite is not re-emitted
+    drain(on_replace="skip")
+    df = reg.read.parquet(out)
+    assert df.count() == 470
+    assert df.filter(F.col("value") == 5.0).count() == 40
+
+
+def test_streaming_starting_latest(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    t.append(_batch(reg, 0, 200), partition_col="pt", cluster="bypart")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        reg.readStream.format("icelite")
+        .option("starting", "latest")
+        .load(t.root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # head-start offset: the pre-existing 200 rows are never emitted
+    assert reg.read.parquet(out).count() == 0
