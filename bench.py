@@ -109,6 +109,7 @@ HEADLINE = [
     # r6: merge-on-read upsert through the icelite storage layer (write +
     # equality-delete commit + pending-delete anti-join read, end-to-end)
     "mor_upsert",
+    "icelite_scan",
     # admitted once their kernels went batched: dtw_path's DP+backtrack is
     # one vectorized pass per length-class; number_peaks stays per-series
     # (ridge linkage is sequential) but spreads round-robin across cores

@@ -2850,6 +2850,73 @@ FROM merged GROUP BY event_type
 """
 
 
+def q_icelite_scan(spark, sf_dir):
+    """Range query through icelite's NATIVE Spark data-source face
+    (icelite_source.py, PySpark 4 Python Data Source API): land events in
+    a partitioned icelite table whose files are range-clustered on
+    event_id, then ``spark.read.format("icelite")`` with a Catalyst range
+    filter — ``pushFilters`` converts it into file-level min/max skipping
+    (strictly-fewer-files assertion lives in tests/test_icelite_source.py)
+    while Spark re-applies the predicate, so semantics are exact.  The
+    table is re-rolled deterministically every run (overwrite of every
+    partition, then one append commit so the scan crosses a multi-commit
+    manifest).  The oracle replays filter+aggregate relationally on the
+    raw events.  The reference has no storage layer (inputs are in-memory
+    arrays, tests/test_pcm.py:10) — like mor_upsert, this row guards the
+    engine's own claimed Iceberg-semantics surface, here wired through
+    spark.read instead of the IceliteTable API."""
+    import os
+
+    from .icelite import IceliteTable
+    from .icelite_source import register
+
+    register(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = IceliteTable(os.path.join(_mor_scratch_dir(), "ds_scan"))
+    base = ev.filter(F.col("event_id") % 20 != F.lit(7))
+    tail = ev.filter(F.col("event_id") % 20 == F.lit(7))
+    # range-cluster within each partition: disjoint per-file event_id
+    # ranges are what make the pushed filter's min/max skipping bite
+    t.overwrite_partitions(
+        base.withColumn("pt", F.col("event_type")).repartitionByRange(8, "event_id"),
+        "pt",
+        cluster="asis",
+    )
+    t.append(
+        tail.withColumn("pt", F.col("event_type")).repartitionByRange(2, "event_id"),
+        "pt",
+        cluster="asis",
+    )
+    # O(1) driver scalar: the filter literal must be known at plan time for
+    # Catalyst to push it down to the data source
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    thr = int(hi) // 5
+    df = (
+        spark.read.format("icelite")
+        .load(t.root)
+        .filter(F.col("event_id") <= F.lit(thr))
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+SQL_ICELITE_SCAN = """
+WITH thr AS (
+  SELECT CAST(floor(max(event_id) / 5.0) AS BIGINT) AS t FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events, thr WHERE event_id <= thr.t
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver's correctness gate checks at most 50 queries() entries per
@@ -2902,7 +2969,6 @@ def queries():
         "symmetry_vs_median": q_symmetry_vs_median,
         "discordance_lp_identity": q_discordance_lp_identity,
         "discordance_fixed16": q_discordance_fixed16,
-        "fourier_const_bands": q_fourier_const_bands,
         "fourier_fixed16": q_fourier_fixed16,
         "mads_fixed_p1": q_mads_fixed_p1,
         "number_peaks_w1": q_number_peaks_w1,
@@ -2916,8 +2982,10 @@ def queries():
         "winnow_overlap": q_winnow_overlap,
         "multimodal_features": q_multimodal_features,
         "compression_roundtrip": q_compression_roundtrip,
-        # storage layer: merge-on-read upsert through icelite (r6)
+        # storage layer: merge-on-read upsert through icelite (r6), and the
+        # native Spark data-source face with pushed-filter file skipping
         "mor_upsert": q_mor_upsert,
+        "icelite_scan": q_icelite_scan,
     }
 
 
@@ -2931,6 +2999,10 @@ def bench_only_queries():
         # conditional sums) is a strict subset of the hash-green rollup_1m
         # channelize pivot; nothing unique remains to guard
         "events_pivot": q_events_pivot,
+        # r6: retired for icelite_scan — fourier_fixed16 drives the SAME
+        # fourier_batch kernel with non-degenerate spectra (this row's
+        # constant-series bands were the weaker, degenerate probe of it)
+        "fourier_const_bands": q_fourier_const_bands,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "decontaminate_bloom": q_decontaminate_bloom,
         "mad_vs_centroid": q_mad_vs_centroid,
@@ -3000,4 +3072,5 @@ def oracles():
         "compression_roundtrip": SQL_COMPRESSION_ROUNDTRIP,
         "winnow_overlap": _sql_winnow_overlap(),
         "mor_upsert": SQL_MOR_UPSERT,
+        "icelite_scan": SQL_ICELITE_SCAN,
     }
