@@ -127,6 +127,11 @@ def _apply_delta(base: dict, delta: dict) -> dict:
     returned dict is new, untouched partition entries are shared)."""
     out = dict(base)
     parts = delta["parts"]
+    if delta["mode"] == "reset":
+        # rollback: the resolved manifest becomes EXACTLY this delta's parts
+        # — unlike replace, partitions absent from ``parts`` cease to exist
+        # (they were added after the rollback target)
+        return dict(parts)
     if delta["mode"] == "append":
         for value, m in parts.items():
             if value in out:
@@ -611,6 +616,230 @@ class IceliteTable:
         for s in out:
             self._resolve(s)
         return out
+
+    # ------------------------------------------------------------- rollback
+
+    def rollback_to(
+        self, snapshot_id: str | None = None, *, as_of: float | None = None
+    ) -> Snapshot:
+        """Roll the table back to an earlier snapshot (Iceberg's
+        ``rollback_to_snapshot`` / ``rollback_to_timestamp``): commits a NEW
+        head whose resolved manifest is exactly the target's — history is
+        PRESERVED (time travel to the pre-rollback head still works until
+        ``expire_snapshots`` ages it out), and the commit goes through the
+        same gen-file CAS as every other writer, so a concurrent append
+        either lands before the rollback (and is rolled back) or conflicts
+        and retries on top of it — never silently lost.
+
+        Matches Iceberg's semantics deliberately:
+
+        * the table SCHEMA stays at the current head's (schema is table
+          metadata, not data lineage); the rollback snapshot's pinned
+          schema NULL-backfills columns the target's files predate.
+        * for incremental append scans / the streaming source, a rollback
+          is a replace-class commit (its delta mode is ``reset``) —
+          ``on_replace='error'`` raises on it, ``'skip'`` passes over it,
+          exactly like overwrite/compaction.
+        * per-file birth seqs (``fseq``) and pending equality deletes are
+          restored verbatim, so merge-on-read masking after a rollback is
+          identical to reading the target directly.
+
+        The target must still be in the retained chain —
+        ``expire_snapshots`` GC makes older states unreachable (their data
+        files are gone), and this raises ``FileNotFoundError`` for them.
+        Rolling back to the current head is an idempotent no-op."""
+        target = (
+            self.snapshot_as_of(as_of) if as_of is not None else self.snapshot(snapshot_id)
+        )
+        if target is None:
+            raise ValueError("rollback target snapshot not found")
+        cur = self.current_snapshot_id()
+        if cur == target.snapshot_id:
+            return target
+        return self._commit_delta(
+            "rollback",
+            "reset",
+            dict(target.partitions),
+            {"rollback_to": target.snapshot_id, "rollback_from": cur},
+            partition_col=target.partition_col,
+        )
+
+    # ------------------------------------------------------- metadata tables
+
+    _META_KINDS = ("snapshots", "files", "partitions")
+
+    def _meta_schema(self, kind: str):
+        """Spark schema of one metadata table (shared by the DataFrame
+        methods below and the data source's ``metadata`` option)."""
+        from pyspark.sql import types as T
+
+        if kind == "snapshots":
+            return T.StructType(
+                [
+                    T.StructField("seq", T.LongType(), False),
+                    T.StructField("snapshot_id", T.StringType(), False),
+                    T.StructField("parent_id", T.StringType(), True),
+                    T.StructField("operation", T.StringType(), False),
+                    T.StructField("kind", T.StringType(), False),
+                    T.StructField("fmt", T.LongType(), False),
+                    T.StructField("committed_at", T.DoubleType(), False),
+                    T.StructField("is_current", T.BooleanType(), False),
+                    T.StructField("partitions", T.LongType(), False),
+                    T.StructField("data_files", T.LongType(), False),
+                    T.StructField("delete_files", T.LongType(), False),
+                    T.StructField("rows", T.LongType(), False),
+                    T.StructField("lineage", T.StringType(), True),
+                ]
+            )
+        if kind == "files":
+            return T.StructType(
+                [
+                    T.StructField("partition", T.StringType(), False),
+                    T.StructField("path", T.StringType(), False),
+                    T.StructField("content", T.StringType(), False),
+                    T.StructField("birth_seq", T.LongType(), False),
+                    T.StructField("size_bytes", T.LongType(), True),
+                    T.StructField("row_count", T.LongType(), True),
+                    T.StructField("stats", T.StringType(), True),
+                ]
+            )
+        if kind == "partitions":
+            return T.StructType(
+                [
+                    T.StructField("partition", T.StringType(), False),
+                    T.StructField("data_files", T.LongType(), False),
+                    T.StructField("delete_files", T.LongType(), False),
+                    T.StructField("rows", T.LongType(), False),
+                    T.StructField("size_bytes", T.LongType(), True),
+                ]
+            )
+        raise ValueError(f"unknown metadata table {kind!r}; one of {self._META_KINDS}")
+
+    def _abs(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.root, p)
+
+    def _meta_rows(self, kind: str, snapshot_id: str | None = None) -> list[tuple]:
+        """Rows of one metadata table — plain tuples matching
+        ``_meta_schema(kind)``.  All three are driver-side walks of the tiny
+        JSON metadata (Iceberg's metadata tables likewise read manifests,
+        not data); ``files`` additionally stats each file and reads parquet
+        footers for row counts — metadata-only I/O, threadpooled like the
+        writer's stats pass."""
+        if kind == "snapshots":
+            cur = self.current_snapshot_id()
+            out = []
+            for s in self.snapshots():
+                files = sum(len(m["files"]) for m in s.partitions.values())
+                dels = sum(len(m.get("deletes") or ()) for m in s.partitions.values())
+                rows = sum(int(m["rows"]) for m in s.partitions.values())
+                out.append(
+                    (
+                        int(s.seq),
+                        s.snapshot_id,
+                        s.parent_id,
+                        s.operation,
+                        s.kind,
+                        int(s.fmt),
+                        float(s.committed_at),
+                        s.snapshot_id == cur,
+                        len(s.partitions),
+                        files,
+                        dels,
+                        rows,
+                        json.dumps(s.lineage, sort_keys=True, default=str)
+                        if s.lineage
+                        else None,
+                    )
+                )
+            return out
+
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        if kind == "partitions":
+            out = []
+            for value in sorted(snap.partitions):
+                m = snap.partitions[value]
+                size = 0
+                for f in m["files"]:
+                    try:
+                        size += os.stat(self._abs(f)).st_size
+                    except OSError:
+                        size = None
+                        break
+                out.append(
+                    (
+                        value,
+                        len(m["files"]),
+                        len(m.get("deletes") or ()),
+                        int(m["rows"]),
+                        size,
+                    )
+                )
+            return out
+
+        if kind == "files":
+            from concurrent.futures import ThreadPoolExecutor
+
+            entries = []  # (partition, path, content, birth_seq, stats)
+            for value in sorted(snap.partitions):
+                m = snap.partitions[value]
+                fseq = m.get("fseq") or [0] * len(m["files"])
+                stats = m.get("stats") or [None] * len(m["files"])
+                for f, bs, st in zip(m["files"], fseq, stats):
+                    entries.append((value, f, "data", int(bs), st))
+                for d in m.get("deletes") or ():
+                    entries.append((value, d["file"], "eq_delete", int(d.get("seq") or 0), None))
+
+            def probe(path):
+                try:
+                    import pyarrow.parquet as pq
+
+                    ap = self._abs(path)
+                    return os.stat(ap).st_size, pq.ParquetFile(ap).metadata.num_rows
+                except OSError:
+                    return None, None
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                probed = list(ex.map(probe, [e[1] for e in entries]))
+            return [
+                (
+                    value,
+                    f,
+                    content,
+                    bs,
+                    size,
+                    rows,
+                    json.dumps(st, sort_keys=True, default=str) if st else None,
+                )
+                for (value, f, content, bs, st), (size, rows) in zip(entries, probed)
+            ]
+        raise ValueError(f"unknown metadata table {kind!r}; one of {self._META_KINDS}")
+
+    def _meta_df(self, spark: SparkSession, kind: str, snapshot_id: str | None = None):
+        return spark.createDataFrame(
+            self._meta_rows(kind, snapshot_id), self._meta_schema(kind)
+        )
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The ``snapshots`` metadata table (Iceberg's ``tbl.snapshots`` /
+        ``tbl.history``): one row per retained commit, oldest first, with
+        per-snapshot resolved totals and the current-head flag."""
+        return self._meta_df(spark, "snapshots")
+
+    def files_df(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """The ``files`` metadata table (Iceberg's ``tbl.files``): one row
+        per live data/equality-delete file of a snapshot, with its
+        partition value, birth commit seq, size, footer row count, and the
+        recorded min/max column stats as JSON."""
+        return self._meta_df(spark, "files", snapshot_id)
+
+    def partitions_df(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """The ``partitions`` metadata table (Iceberg's ``tbl.partitions``):
+        per-partition file/row/byte totals of a snapshot."""
+        return self._meta_df(spark, "partitions", snapshot_id)
 
     # --------------------------------------------------------------- locking
 

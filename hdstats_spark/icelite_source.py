@@ -160,6 +160,36 @@ def _filter_spec(f) -> tuple[str, tuple] | None:
     return None
 
 
+@dataclass
+class _MetaSlice(InputPartition):
+    """One metadata table, rows precomputed on the driver (metadata tables
+    are tiny JSON walks — shipping the rows beats re-walking per executor)."""
+
+    rows: tuple
+
+
+class IceliteMetadataReader(DataSourceReader):
+    """Reader for ``option("metadata", "snapshots"|"files"|"partitions")`` —
+    the data-source face of Iceberg's metadata tables::
+
+        spark.read.format("icelite").option("metadata", "files").load(root)
+    """
+
+    def __init__(self, root: str, options: dict):
+        self._root = root
+        self._options = options
+
+    def partitions(self):
+        t = IceliteTable(self._root)
+        rows = t._meta_rows(
+            self._options["metadata"], self._options.get("snapshot_id")
+        )
+        return [_MetaSlice(tuple(rows))]
+
+    def read(self, partition: _MetaSlice):
+        yield from partition.rows
+
+
 class IceliteBatchReader(DataSourceReader):
     def __init__(self, root: str, options: dict, schema: StructType):
         self._root = root
@@ -267,6 +297,9 @@ class IceliteDataSource(DataSource):
 
     def schema(self) -> StructType:
         t = IceliteTable(self._root())
+        meta = self.options.get("metadata")
+        if meta:
+            return t._meta_schema(meta)
         as_of = self.options.get("as_of")
         snap = (
             t.snapshot_as_of(float(as_of))
@@ -300,6 +333,8 @@ class IceliteDataSource(DataSource):
         return from_arrow_schema(pq.ParquetFile(probe).schema_arrow)
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("metadata"):
+            return IceliteMetadataReader(self._root(), dict(self.options))
         return IceliteBatchReader(self._root(), dict(self.options), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -1,0 +1,200 @@
+"""icelite rollback + metadata tables.
+
+Rollback (Iceberg's ``rollback_to_snapshot``) commits a NEW head whose
+resolved manifest is exactly the target's — a ``reset`` delta, so
+partitions added after the target cease to exist (replace-mode folding
+would leave them behind), while history stays time-travelable until
+expire_snapshots ages it out.  Metadata tables mirror Iceberg's
+``tbl.snapshots`` / ``tbl.files`` / ``tbl.partitions`` introspection, both
+as IceliteTable methods and through the registered Spark data source's
+``metadata`` option.  The reference has no storage layer at all (inputs
+are in-memory arrays, reference tests/test_pcm.py:10) — this guards the
+engine's own claimed Iceberg-semantics surface.
+"""
+
+import json
+import os
+
+import pytest
+
+from hdstats_spark.icelite import IceliteTable
+
+SCHEMA = "k int, v string, day string"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _vals(t, spark, **kw):
+    return sorted((r.k, r.v) for r in t.read(spark, **kw).collect())
+
+
+# ---------------------------------------------------------------- rollback
+
+
+def test_rollback_restores_state_and_preserves_history(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "rb1"))
+    s1 = t.append(_mk(spark, [(1, "a", "d1"), (2, "b", "d1")]), partition_col="day")
+    s2 = t.append(_mk(spark, [(3, "c", "d2")]), partition_col="day")
+    s3 = t.append(_mk(spark, [(4, "d", "d3")]), partition_col="day")
+    want_s2 = _vals(t, spark, snapshot_id=s2.snapshot_id)
+
+    rb = t.rollback_to(s2.snapshot_id)
+    assert rb.operation == "rollback" and rb.seq == s3.seq + 1
+    assert rb.parent_id == s3.snapshot_id  # new commit, not a pointer move
+    assert _vals(t, spark) == want_s2
+    # reset semantics: the partition added AFTER the target is gone
+    assert t.committed_partitions() == {"d1", "d2"}
+    # history preserved: the pre-rollback head is still time-travelable
+    assert _vals(t, spark, snapshot_id=s3.snapshot_id) == want_s2 + [(4, "d")]
+    # lineage records both ends of the rollback
+    assert rb.lineage == {
+        "rollback_to": s2.snapshot_id,
+        "rollback_from": s3.snapshot_id,
+    }
+    # writes continue on top of the rolled-back state
+    t.append(_mk(spark, [(5, "e", "d1")]), partition_col="day")
+    assert _vals(t, spark) == want_s2 + [(5, "e")]
+
+
+def test_rollback_undoes_overwrite(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "rb2"))
+    s1 = t.append(_mk(spark, [(1, "old", "d1")]), partition_col="day")
+    t.overwrite_partitions(_mk(spark, [(1, "new", "d1")]), "day")
+    assert _vals(t, spark) == [(1, "new")]
+    t.rollback_to(s1.snapshot_id)
+    assert _vals(t, spark) == [(1, "old")]
+
+
+def test_rollback_noop_and_missing_target(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "rb3"))
+    s1 = t.append(_mk(spark, [(1, "a", "d1")]), partition_col="day")
+    assert t.rollback_to(s1.snapshot_id).snapshot_id == s1.snapshot_id
+    assert t.snapshot().seq == s1.seq  # no empty commit
+    with pytest.raises(FileNotFoundError):
+        t.rollback_to("deadbeefdeadbeef")
+
+
+def test_rollback_by_timestamp(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "rb4"))
+    s1 = t.append(_mk(spark, [(1, "a", "d1")]), partition_col="day")
+    ts = t.snapshot(s1.snapshot_id).committed_at
+    t.append(_mk(spark, [(2, "b", "d1")]), partition_col="day")
+    t.rollback_to(as_of=ts)
+    assert _vals(t, spark) == [(1, "a")]
+
+
+def test_rollback_restores_pending_mor_deletes(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "rb5"))
+    t.append(_mk(spark, [(1, "a", "d1"), (2, "b", "d1")]), partition_col="day")
+    s2 = t.upsert(_mk(spark, [(1, "a2", "d1")]), key_cols=["k"], partition_col="day")
+    want = _vals(t, spark)  # {1: a2, 2: b} with the delete still pending
+    t.append(_mk(spark, [(3, "c", "d1")]), partition_col="day")
+    t.rollback_to(s2.snapshot_id)
+    assert _vals(t, spark) == want
+    # pending equality deletes restored verbatim (fseq rule intact)
+    assert t.pending_deletes() == {"d1": {"files": 1, "rows": 1}}
+    # a post-rollback re-insert of the masked key is born past the delete
+    # seq, so it is NOT masked
+    t.append(_mk(spark, [(1, "a3", "d1")]), partition_col="day")
+    assert _vals(t, spark) == [(1, "a2"), (1, "a3"), (2, "b")]
+
+
+def test_rollback_is_replace_class_for_incremental(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "rb6"))
+    s1 = t.append(_mk(spark, [(1, "a", "d1")]), partition_col="day")
+    t.append(_mk(spark, [(2, "b", "d1")]), partition_col="day")
+    t.rollback_to(s1.snapshot_id)
+    t.append(_mk(spark, [(3, "c", "d1")]), partition_col="day")
+    with pytest.raises(ValueError, match="replaced data files"):
+        t.appended_between(s1.seq)
+    _, adds = t.appended_between(s1.seq, on_replace="skip")
+    # skip mode: the rolled-back append and the rollback are passed over;
+    # only the post-rollback append surfaces (its files are the live ones)
+    assert [a["seq"] for a in adds] == [2, 4]
+
+
+def test_expire_after_rollback_gcs_rolled_back_files(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "rb7"))
+    s1 = t.append(_mk(spark, [(1, "a", "d1")]), partition_col="day")
+    s2 = t.append(_mk(spark, [(2, "b", "d2")]), partition_col="day")
+    t.rollback_to(s1.snapshot_id)
+    want = _vals(t, spark)
+    gone = [f for m in s2.partitions.values() for f in m["files"] if "d2" in f]
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == 2  # s1 and s2; the rollback head stays
+    assert res["files_removed"] == len(gone) and gone
+    for f in gone:
+        assert not os.path.exists(os.path.join(t.root, f))
+    assert _vals(t, spark) == want  # survivor re-checkpointed, still readable
+
+
+# ---------------------------------------------------------- metadata tables
+
+
+@pytest.fixture()
+def meta_table(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "meta"))
+    t.append(_mk(spark, [(1, "a", "d1"), (2, "b", "d2")]), partition_col="day")
+    t.upsert(_mk(spark, [(1, "a2", "d1")]), key_cols=["k"], partition_col="day")
+    return t
+
+
+def test_snapshots_df(spark, meta_table):
+    rows = meta_table.snapshots_df(spark).orderBy("seq").collect()
+    assert [r.operation for r in rows] == ["append", "upsert"]
+    assert [r.is_current for r in rows] == [False, True]
+    assert rows[0].parent_id is None and rows[1].parent_id == rows[0].snapshot_id
+    assert rows[1].delete_files == 1 and rows[0].delete_files == 0
+    assert rows[1].rows == 3  # physical upper bound pre-compaction
+    assert rows[1].fmt == 3 and rows[0].fmt == 2
+
+
+def test_files_df_matches_manifest_and_footers(spark, meta_table):
+    import pyspark.sql.functions as F
+
+    fd = meta_table.files_df(spark)
+    snap = meta_table.snapshot()
+    n_data = sum(len(m["files"]) for m in snap.partitions.values())
+    n_del = sum(len(m.get("deletes") or ()) for m in snap.partitions.values())
+    by = {r["content"]: r["count(1)"] for r in fd.groupBy("content").agg(F.count(F.lit(1))).collect()}
+    assert by == {"data": n_data, "eq_delete": n_del}
+    got = fd.filter("content = 'data'").agg(F.sum("row_count")).collect()[0][0]
+    assert got == meta_table.rows()
+    r = fd.filter("content = 'data'").first()
+    # pre-MOR files carry the fseq-0 sentinel (born before every delete);
+    # the upsert commit's data files are stamped with its seq
+    assert r.size_bytes > 0 and r.birth_seq >= 0
+    assert fd.filter("content = 'data' AND birth_seq = 2").count() >= 1
+    assert "__cols__" in json.loads(r.stats)  # fmt-2 stats round-trip
+    # snapshot_id pins the view: the pre-upsert snapshot has no delete files
+    first = meta_table.snapshots_df(spark).orderBy("seq").first().snapshot_id
+    old = meta_table.files_df(spark, snapshot_id=first)
+    assert old.filter("content = 'eq_delete'").count() == 0
+
+
+def test_partitions_df_totals(spark, meta_table):
+    rows = {r.partition: r for r in meta_table.partitions_df(spark).collect()}
+    snap = meta_table.snapshot()
+    assert set(rows) == set(snap.partitions)
+    for value, m in snap.partitions.items():
+        assert rows[value].data_files == len(m["files"])
+        assert rows[value].rows == m["rows"]
+        assert rows[value].size_bytes > 0
+    assert rows["d1"].delete_files == 1 and rows["d2"].delete_files == 0
+
+
+def test_metadata_via_data_source(spark, meta_table):
+    from hdstats_spark.icelite_source import register
+
+    register(spark)
+    for kind in ("snapshots", "files", "partitions"):
+        native = meta_table._meta_df(spark, kind)
+        ds = (
+            spark.read.format("icelite")
+            .option("metadata", kind)
+            .load(meta_table.root)
+        )
+        assert ds.schema == native.schema
+        assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, native.collect()))
