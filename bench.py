@@ -42,11 +42,13 @@ HEADLINE = [
     "sessionize",
     "session_concurrency",
     "events_rollup_totals",
+    "events_pivot",
     "asof_join_events",
     "pricing_summary",
     "top_customers",
     "doc_stats",
     "exact_dedup",
+    "fingerprint",
     "corpus_filter",
     # r5: benchmark decontamination (broadcast dirty-ngram set, map-only
     # corpus probe) — hash-checked at sf0.01
@@ -56,6 +58,7 @@ HEADLINE = [
     "decontaminate_bloom",
     "lang_id",
     "knn_cosine",
+    "embedding_centroids",
     "embedding_dups",
     "embedding_dups_lsh",
     "dist_to_centroid",
