@@ -1928,6 +1928,184 @@ class IceliteTable:
         probe = probe if os.path.isabs(probe) else os.path.join(self.root, probe)
         return spark.read.parquet(probe).limit(0)
 
+    # ----------------------------------------------------------------- CDC
+
+    CDC_COLS = ("_change_type", "_partition", "_commit_seq", "_commit_snapshot_id",
+                "_commit_timestamp")
+
+    def _conform(self, df: DataFrame, end: Snapshot) -> DataFrame:
+        """Project ``df`` onto the END snapshot's data-column schema
+        (missing columns NULL-backfilled) so frames from commits on either
+        side of a schema evolution union cleanly."""
+        if end.schema is None:
+            return df
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(end.schema)
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in st.fields
+            ]
+        )
+
+    def changes_between(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str | None = None,
+        to_snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """CHANGELOG between two snapshots — the icelite analogue of
+        Iceberg's changelog scan / Delta's Change Data Feed: every row-level
+        change committed with ``from.seq < seq <= to.seq``, as data columns
+        (END snapshot's schema, NULL-backfilled across evolutions) plus
+        ``_change_type`` ('insert' | 'delete'), ``_partition`` (manifest
+        key; '__all__' on unpartitioned tables), ``_commit_seq``,
+        ``_commit_snapshot_id``, ``_commit_timestamp``.  An upsert emits the
+        old row as a delete and the new row as an insert under the same
+        ``_commit_seq``; consumers order by it.
+
+        Per-commit cost model (what makes this viable on a 100-TB table):
+
+        * **append** — the commit's own files are read directly (manifest
+          file list, no diff, no shuffle).
+        * **MOR upsert / delete_by_keys** — inserts from the commit's new
+          files; deletes by broadcast SEMI join of the commit's tiny
+          equality-delete key files against the PARENT snapshot restricted
+          to the touched partitions (rows already masked in the parent are
+          not re-deleted — the parent read applies its own pending
+          deletes).
+        * **compact** (incl. Z-order clustering) — content-preserving by
+          its own commit-time conflict checks: emits nothing, costs
+          nothing.
+        * **overwrite / copy-on-write delete / rollback** — the honest
+          case: a logical EXCEPT ALL diff of child vs parent, restricted to
+          the partitions the commit touched (rollback: partitions whose
+          manifest entries differ).  This is the same work Iceberg's
+          changelog scan does for overwrite snapshots.
+
+        Raises like ``appended_between`` when the range crosses an expired
+        (GC'd) chain segment."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        end_sid = to_snapshot_id or self.current_snapshot_id()
+        if end_sid is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        end = self._load_raw(end_sid)
+        start_seq = 0
+        if from_snapshot_id is not None:
+            try:
+                start_seq = self._load_raw(from_snapshot_id).seq
+            except FileNotFoundError:
+                raise ValueError(
+                    f"changelog start snapshot {from_snapshot_id} has "
+                    "expired (garbage-collected by expire_snapshots)"
+                ) from None
+
+        # collect raw snapshots in range, oldest first (chain walk is
+        # O(commits) tiny JSON reads, like appended_between)
+        chain: list[Snapshot] = []
+        s = end
+        while s.seq > start_seq:
+            if s.delta is None:
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} (seq {s.seq}) predates delta "
+                    "metadata; changelog cannot cross it"
+                )
+            chain.append(s)
+            if s.seq - 1 <= start_seq or s.parent_id is None:
+                break
+            try:
+                s = self._load_raw(s.parent_id)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"changelog start seq {start_seq} has expired: the chain "
+                    f"below seq {s.seq} was garbage-collected by "
+                    "expire_snapshots"
+                ) from None
+        chain.reverse()
+
+        def stamp(df: DataFrame, ctype: str, value: str, snap: Snapshot) -> DataFrame:
+            return (
+                self._conform(df, end)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_partition", F.lit(value))
+                .withColumn("_commit_seq", F.lit(int(snap.seq)).cast("long"))
+                .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id))
+                .withColumn("_commit_timestamp", F.lit(float(snap.committed_at)))
+            )
+
+        frames: list[DataFrame] = []
+        for snap in chain:
+            d = snap.delta
+            parent = (
+                self._resolve(self._load_raw(snap.parent_id))
+                if snap.parent_id is not None
+                else None
+            )
+            pparts = parent.partitions if parent is not None else {}
+            if d["mode"] == "append":
+                for value, m in d["parts"].items():
+                    if m["files"]:
+                        paths = [self._abs(f) for f in m["files"]]
+                        frames.append(
+                            stamp(self._reader(spark, end).parquet(*paths),
+                                  "insert", value, snap)
+                        )
+                    for de in m.get("deletes") or ():
+                        if value not in pparts or not pparts[value]["files"]:
+                            continue  # nothing pre-existing to mask
+                        keys = spark.read.parquet(self._abs(de["file"])) \
+                            .select(*de["keys"]).distinct()
+                        live = self._conform(
+                            self.read(spark, snapshot_id=parent.snapshot_id,
+                                      partitions=[value]),
+                            end,
+                        )
+                        frames.append(
+                            stamp(
+                                live.join(F.broadcast(keys), on=list(de["keys"]),
+                                          how="left_semi"),
+                                "delete", value, snap,
+                            )
+                        )
+                continue
+            if snap.operation == "compact":
+                continue  # content-preserving replace: no logical change
+            # overwrite / CoW delete / rollback: per-partition logical diff
+            cur = self._resolve(snap).partitions
+            if d["mode"] == "reset":
+                touched = {
+                    v for v in set(cur) | set(pparts) if cur.get(v) != pparts.get(v)
+                }
+            else:
+                touched = set(d["parts"])
+            for value in sorted(touched):
+                def side(parts, sid):
+                    # no data files -> no live rows (delete entries alone
+                    # mask nothing)
+                    if value not in parts or not parts[value]["files"]:
+                        return None
+                    return self._conform(
+                        self.read(spark, snapshot_id=sid, partitions=[value]), end
+                    )
+                new_side = side(cur, snap.snapshot_id)
+                old_side = side(pparts, parent.snapshot_id if parent else None)
+                if new_side is not None:
+                    ins = new_side if old_side is None else new_side.exceptAll(old_side)
+                    frames.append(stamp(ins, "insert", value, snap))
+                if old_side is not None:
+                    dels = old_side if new_side is None else old_side.exceptAll(new_side)
+                    frames.append(stamp(dels, "delete", value, snap))
+        if not frames:
+            base = self.read_incremental(spark, to_snapshot_id=end_sid).limit(0)
+            return stamp(base, "insert", "", end).limit(0)
+        return reduce(DataFrame.unionByName, frames)
+
     # ------------------------------------------------------- maintenance
 
     def compact_partition(
