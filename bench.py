@@ -113,6 +113,9 @@ HEADLINE = [
     # equality-delete commit + pending-delete anti-join read, end-to-end)
     "mor_upsert",
     "icelite_scan",
+    # r6: changelog scan (CDC) from the overwrite snapshot through a MOR
+    # upsert + key delete — hash-checked vs a relational change-stream oracle
+    "icelite_cdc",
     # admitted once their kernels went batched: dtw_path's DP+backtrack is
     # one vectorized pass per length-class; number_peaks stays per-series
     # (ridge linkage is sequential) but spreads round-robin across cores

@@ -2917,6 +2917,81 @@ GROUP BY event_type
 """
 
 
+def q_icelite_cdc(spark, sf_dir):
+    """Changelog scan (CDC) through the icelite table layer
+    (``changes_between`` — the Iceberg-changelog / Delta-CDF analogue):
+    land events (overwrite, snapshot s1), MOR-upsert a derived batch
+    (values negated for ``event_id % 10 == 3``), then MOR-delete the keys
+    with ``event_id % 15 == 4`` — and read the row-level changelog from s1
+    to head.  The upsert must emit delete(old)+insert(new) pairs under one
+    commit step, the key delete must emit deletes of the MERGED state
+    (i.e. the semi join runs against a parent that itself carries pending
+    equality deletes), and compaction-free appends come straight off the
+    manifests.  The oracle replays the change stream relationally
+    (anti-join merge + filters).  ``commit_step`` is the commit's seq
+    relative to s1, so repeat runs on the re-rolled table hash
+    identically.  The reference has no storage layer (inputs are
+    in-memory arrays, tests/test_pcm.py:10) — this row guards the
+    engine's own claimed Iceberg-semantics surface; replay equivalence
+    across every commit kind is pytest-anchored in
+    tests/test_icelite_cdc.py."""
+    import os
+
+    from .icelite import IceliteTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = IceliteTable(os.path.join(_mor_scratch_dir(), "cdc_q"))
+    s1 = t.overwrite_partitions(
+        ev.withColumn("pt", F.col("event_type")), "pt", cluster="bypart"
+    )
+    batch = ev.filter(F.col("event_id") % 10 == F.lit(3)).select(
+        "event_id",
+        "event_type",
+        (-F.col("value")).alias("value"),
+        F.col("event_type").alias("pt"),
+    )
+    t.upsert(batch, key_cols=["event_id"], partition_col="pt", cluster="bypart")
+    t.delete_by_keys(
+        ev.filter(F.col("event_id") % 15 == F.lit(4)).select("event_id"),
+        key_cols=["event_id"],
+    )
+    ch = t.changes_between(spark, s1.snapshot_id)
+    return (
+        ch.withColumn("change_type", F.col("_change_type"))
+        .withColumn(
+            "commit_step", (F.col("_commit_seq") - F.lit(int(s1.seq))).cast("long")
+        )
+        .groupBy("event_type", "change_type", "commit_step")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_ICELITE_CDC = """
+WITH batch AS (
+  SELECT event_id, event_type, -value AS value
+  FROM events WHERE event_id % 10 = 3
+), merged AS (
+  SELECT e.event_id, e.event_type, e.value
+  FROM events e ANTI JOIN batch b ON e.event_id = b.event_id
+  UNION ALL
+  SELECT event_id, event_type, value FROM batch
+), all_ch AS (
+  SELECT event_type, 'insert' AS change_type, 1 AS commit_step, value FROM batch
+  UNION ALL
+  SELECT event_type, 'delete', 1, value FROM events WHERE event_id % 10 = 3
+  UNION ALL
+  SELECT event_type, 'delete', 2, value FROM merged WHERE event_id % 15 = 4
+)
+SELECT event_type, change_type, CAST(commit_step AS BIGINT) AS commit_step,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM all_ch GROUP BY event_type, change_type, commit_step
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver's correctness gate checks at most 50 queries() entries per
@@ -2964,7 +3039,6 @@ def queries():
         "area_warp": q_area_warp,
         "area_l1_to_median": q_area_l1_to_median,
         # degenerate-case hash-green mirrors of the kernel paths
-        "dtw_diag": q_dtw_diag,
         "dtw_diag_path": q_dtw_diag_path,
         "symmetry_vs_median": q_symmetry_vs_median,
         "discordance_lp_identity": q_discordance_lp_identity,
@@ -2986,6 +3060,7 @@ def queries():
         # native Spark data-source face with pushed-filter file skipping
         "mor_upsert": q_mor_upsert,
         "icelite_scan": q_icelite_scan,
+        "icelite_cdc": q_icelite_cdc,
     }
 
 
@@ -3003,6 +3078,12 @@ def bench_only_queries():
         # fourier_batch kernel with non-degenerate spectra (this row's
         # constant-series bands were the weaker, degenerate probe of it)
         "fourier_const_bands": q_fourier_const_bands,
+        # r6: retired for icelite_cdc — local_dtw's banded fill is the SAME
+        # DP recurrence dtw_diag_path drives hash-green end-to-end (the band
+        # only bounds the j-range), and the banded kernel itself stays
+        # bit-exact-pytest-anchored vs the serial reference
+        # (tests/test_kernels_batched.py)
+        "dtw_diag": q_dtw_diag,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "decontaminate_bloom": q_decontaminate_bloom,
         "mad_vs_centroid": q_mad_vs_centroid,
@@ -3073,4 +3154,5 @@ def oracles():
         "winnow_overlap": _sql_winnow_overlap(),
         "mor_upsert": SQL_MOR_UPSERT,
         "icelite_scan": SQL_ICELITE_SCAN,
+        "icelite_cdc": SQL_ICELITE_CDC,
     }
