@@ -48,6 +48,9 @@ HEADLINE = [
     "top_customers",
     "doc_stats",
     "exact_dedup",
+    # r6: Gopher-style repetition filtering (top/dup n-gram fractions +
+    # keep decision) — hash-checked vs an n-gram SQL oracle
+    "gopher_repetition",
     "fingerprint",
     "corpus_filter",
     # r5: benchmark decontamination (broadcast dirty-ngram set, map-only

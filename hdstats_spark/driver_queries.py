@@ -2992,6 +2992,64 @@ FROM all_ch GROUP BY event_type, change_type, commit_step
 """
 
 
+# --------------------------------------------------- repetition filtering
+
+#: gate thresholds for the keep decision, scaled to the synthetic 30-word
+#: vocabulary so the flag is NON-degenerate (Gopher's published ceilings —
+#: 0.20/0.18/0.16, operators/textstats.GOPHER_TOP_NGRAM_MAX — keep 100% of
+#: this corpus; these sit near the corpus median so both outcomes occur)
+_GOPHER_GATE_THRESHOLDS = {2: 0.04, 3: 0.025, 4: 0.025}
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition filtering (Rae et al. 2021, Table A1) over
+    the documents corpus — per-document word-n-gram repetition metrics
+    (top-n-gram share, duplicated-n-gram share for n = 2, 3, 4) and the
+    composed keep/drop decision.  One corpus scan, one explode, two-stage
+    aggregation whose heavy key contains doc_id (map-side combine, no
+    cross-document skew), per-doc pivot, 1:1 join to restore documents
+    shorter than the smallest n; all JVM expressions.  Fractions are RAW
+    doubles (exact-integer division is engine-independent; rounding can
+    land on half boundaries) and the keep flag compares the raw ratios, so
+    the oracle is exact at any sf."""
+    from .operators.textstats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(d, thresholds=_GOPHER_GATE_THRESHOLDS)
+
+
+def _sql_gopher_repetition(th=_GOPHER_GATE_THRESHOLDS):
+    return rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, n, array_to_string(ws[i:i+n-1], ' ') AS gram
+  FROM w, (VALUES (2),(3),(4)) ns(n), unnest(range(1, len(ws)-n+2)) t(i)
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY ALL
+), m AS (
+  SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM c GROUP BY ALL
+), p AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top/total END) AS top2_frac,
+         max(CASE WHEN n = 2 THEN dup/total END) AS dup2_frac,
+         max(CASE WHEN n = 3 THEN top/total END) AS top3_frac,
+         max(CASE WHEN n = 3 THEN dup/total END) AS dup3_frac,
+         max(CASE WHEN n = 4 THEN top/total END) AS top4_frac,
+         max(CASE WHEN n = 4 THEN dup/total END) AS dup4_frac
+  FROM m GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(ws) AS INT) AS n_words,
+       top2_frac, dup2_frac, top3_frac, dup3_frac, top4_frac, dup4_frac,
+       CAST(coalesce(top2_frac, 0) <= {th[2]}
+        AND coalesce(top3_frac, 0) <= {th[3]}
+        AND coalesce(top4_frac, 0) <= {th[4]} AS INT) AS keep
+FROM w LEFT JOIN p ON w.doc_id = p.doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 #
 # The driver's correctness gate checks at most 50 queries() entries per
@@ -3019,8 +3077,8 @@ def queries():
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "doc_stats": q_doc_stats,
-        "exact_dedup": q_exact_dedup,
         "corpus_filter": q_corpus_filter,
+        "gopher_repetition": q_gopher_repetition,
         "decontaminate": q_decontaminate,
         "asof_join_events": q_asof_join_events,
         "dup_clusters": q_dup_clusters,
@@ -3084,6 +3142,11 @@ def bench_only_queries():
         # bit-exact-pytest-anchored vs the serial reference
         # (tests/test_kernels_batched.py)
         "dtw_diag": q_dtw_diag,
+        # r6: retired for gopher_repetition — its md5-groupBy duplicate
+        # identification is the same decision corpus_filter's hash-green
+        # window-min canonicalization makes over the same md5(text) key,
+        # and the streaming form keeps its own streamed ≡ batch pytest
+        "exact_dedup": q_exact_dedup,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "decontaminate_bloom": q_decontaminate_bloom,
         "mad_vs_centroid": q_mad_vs_centroid,
@@ -3155,4 +3218,5 @@ def oracles():
         "mor_upsert": SQL_MOR_UPSERT,
         "icelite_scan": SQL_ICELITE_SCAN,
         "icelite_cdc": SQL_ICELITE_CDC,
+        "gopher_repetition": _sql_gopher_repetition(),
     }

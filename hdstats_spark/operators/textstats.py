@@ -112,3 +112,94 @@ def fingerprint_overlap_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# ------------------------------------------------------- repetition filters
+
+#: Gopher's top-n-gram character-fraction ceilings (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", Table A1): a document whose most
+#: frequent n-gram accounts for more than this fraction is dropped.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def repetition_stats(
+    docs: DataFrame,
+    ns: tuple = (2, 3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher-style repetition filtering (Rae et al. 2021, Table A1):
+    per-document word-n-gram repetition metrics plus the composed keep
+    decision — the "excessively repetitive document" drop rule every
+    large-scale training-data pipeline runs.  Count-weighted adaptation:
+    Gopher weights by characters inside the repeated n-grams; over a
+    whitespace-tokenized corpus the occurrence-count fraction is the same
+    signal without re-materializing character spans (documented deviation).
+    Line/paragraph duplicate fractions are omitted: the corpus schema is
+    single-line text (they are identically zero).
+
+    Output per document: ``n_words``, and for each n in ``ns``
+    ``top{n}_frac`` (most frequent n-gram's share of all n-gram
+    occurrences) and ``dup{n}_frac`` (share of occurrences belonging to
+    n-grams seen more than once), plus ``keep`` = 1 iff every
+    ``top{n}_frac`` is within its threshold (default
+    ``GOPHER_TOP_NGRAM_MAX``).
+
+    100-TB shape: everything is JVM column expressions — ONE scan of the
+    corpus, one explode (~Σn·words rows), a two-stage aggregation whose
+    heavy key (doc, n, gram) contains the document id (partial map-side
+    combine applies, no skew — no key spans documents), a per-doc pivot,
+    and one 1:1 doc_id join to re-attach short documents.  No Python UDFs,
+    no driver collects."""
+    thresholds = dict(GOPHER_TOP_NGRAM_MAX if thresholds is None else thresholds)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col), words.alias("ws"), F.size(words).alias("n_words")
+    )
+    per_n = [
+        F.expr(
+            f"transform(slice(sequence(0, size(ws)), 1, "
+            f"greatest(size(ws) - {n} + 1, 0)), "
+            f"i -> struct({n} AS n, array_join(slice(ws, i + 1, {n}), ' ') AS gram))"
+        )
+        for n in ns
+    ]
+    grams = base.select(
+        id_col, "n_words", F.explode(F.concat(*per_n)).alias("g")
+    ).select(id_col, "n_words", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    gram_counts = grams.groupBy(id_col, "n_words", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    doc_n = gram_counts.groupBy(id_col, "n_words", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    )
+    # RAW double ratios, not rounded: k/total of exact integers is the same
+    # IEEE double in any engine, so oracle comparisons are exact, whereas
+    # round-to-6dp can fall on an exact half boundary (k/128 = 0.0078125)
+    # where HALF_UP (Spark) and half-even disagree
+    metrics = doc_n.select(
+        id_col,
+        "n_words",
+        "n",
+        (F.col("top") / F.col("total")).alias("top_frac"),
+        (F.col("dup") / F.col("total")).alias("dup_frac"),
+    )
+    pivoted = metrics.groupBy(id_col, "n_words").pivot("n", list(ns)).agg(
+        F.first("top_frac").alias("top_frac"), F.first("dup_frac").alias("dup_frac")
+    )
+    for n in ns:
+        pivoted = pivoted.withColumnRenamed(f"{n}_top_frac", f"top{n}_frac")
+        pivoted = pivoted.withColumnRenamed(f"{n}_dup_frac", f"dup{n}_frac")
+    # documents shorter than min(ns) words vanish at the explode — restore
+    # them (metrics NULL, trivially kept)
+    out = base.select(id_col, "n_words").join(
+        pivoted.drop("n_words"), on=id_col, how="left"
+    )
+    keep = F.lit(True)
+    for n, mx in sorted(thresholds.items()):
+        if n in ns:
+            keep = keep & (F.coalesce(F.col(f"top{n}_frac"), F.lit(0.0)) <= F.lit(mx))
+    return out.withColumn("keep", keep.cast("int"))

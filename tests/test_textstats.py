@@ -41,3 +41,55 @@ def test_winnow_short_inputs():
     assert winnow("abc", k=8).size == 0  # shorter than one k-gram
     one = winnow("abcdefgh", k=8)  # exactly one k-gram
     assert one.size == 1
+
+
+# ------------------------------------------------------- repetition filters
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher-style metrics on hand-computable documents."""
+    from collections import Counter
+
+    from hdstats_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),  # 2-grams: ab,ba,ab,ba,ab,bc
+            (2, "x y z w"),        # all n-grams distinct
+            (3, "q"),              # shorter than every n
+            (4, "m m m m m"),      # maximally repetitive
+        ],
+        "doc_id int, text string",
+    )
+    d = {r.doc_id: r for r in repetition_stats(docs).collect()}
+
+    def brute(words, n):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        if not grams:
+            return None, None
+        c = Counter(grams)
+        total = len(grams)
+        return max(c.values()) / total, sum(v for v in c.values() if v > 1) / total
+
+    for doc_id, text in [(1, "a b a b a b c"), (2, "x y z w"), (4, "m m m m m")]:
+        for n in (2, 3, 4):
+            top, dup = brute(text.split(), n)
+            assert d[doc_id][f"top{n}_frac"] == top, (doc_id, n)
+            assert d[doc_id][f"dup{n}_frac"] == dup, (doc_id, n)
+    # doc 1: top2 = 3/6 over Gopher's 0.20 ceiling -> dropped
+    assert d[1].keep == 0 and d[4].keep == 0
+    # short doc restored by the left join, metrics NULL, trivially kept
+    assert d[3].top2_frac is None and d[3].n_words == 1 and d[3].keep == 1
+    # doc 2 has no repetition but tiny-doc top fractions (1/3) still exceed
+    # the ceilings -- the documented Gopher behavior (it targets long docs)
+    assert d[2].keep == 0
+
+
+def test_repetition_stats_custom_thresholds(spark):
+    from hdstats_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame([(1, "x y z w v u t s")], "doc_id int, text string")
+    keep_all = repetition_stats(docs, thresholds={2: 1.0, 3: 1.0, 4: 1.0})
+    drop_all = repetition_stats(docs, thresholds={2: 0.0})
+    assert keep_all.first().keep == 1
+    assert drop_all.first().keep == 0
