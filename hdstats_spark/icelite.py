@@ -1933,6 +1933,33 @@ class IceliteTable:
     CDC_COLS = ("_change_type", "_partition", "_commit_seq", "_commit_snapshot_id",
                 "_commit_timestamp")
 
+    def _commits_between(self, start_seq: int, end: Snapshot) -> list[Snapshot]:
+        """Raw snapshots with ``start_seq < seq <= end.seq``, oldest first —
+        the chain walk shared by the changelog faces (O(commits) tiny JSON
+        reads, no manifest resolution).  Raises when the range crosses
+        pre-delta metadata or an expired (GC'd) chain segment."""
+        chain: list[Snapshot] = []
+        s = end
+        while s.seq > start_seq:
+            if s.delta is None:
+                raise ValueError(
+                    f"snapshot {s.snapshot_id} (seq {s.seq}) predates delta "
+                    "metadata; changelog cannot cross it"
+                )
+            chain.append(s)
+            if s.seq - 1 <= start_seq or s.parent_id is None:
+                break
+            try:
+                s = self._load_raw(s.parent_id)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"changelog start seq {start_seq} has expired: the chain "
+                    f"below seq {s.seq} was garbage-collected by "
+                    "expire_snapshots"
+                ) from None
+        chain.reverse()
+        return chain
+
     def _conform(self, df: DataFrame, end: Snapshot) -> DataFrame:
         """Project ``df`` onto the END snapshot's data-column schema
         (missing columns NULL-backfilled) so frames from commits on either
@@ -2006,28 +2033,7 @@ class IceliteTable:
                     "expired (garbage-collected by expire_snapshots)"
                 ) from None
 
-        # collect raw snapshots in range, oldest first (chain walk is
-        # O(commits) tiny JSON reads, like appended_between)
-        chain: list[Snapshot] = []
-        s = end
-        while s.seq > start_seq:
-            if s.delta is None:
-                raise ValueError(
-                    f"snapshot {s.snapshot_id} (seq {s.seq}) predates delta "
-                    "metadata; changelog cannot cross it"
-                )
-            chain.append(s)
-            if s.seq - 1 <= start_seq or s.parent_id is None:
-                break
-            try:
-                s = self._load_raw(s.parent_id)
-            except FileNotFoundError:
-                raise ValueError(
-                    f"changelog start seq {start_seq} has expired: the chain "
-                    f"below seq {s.seq} was garbage-collected by "
-                    "expire_snapshots"
-                ) from None
-        chain.reverse()
+        chain = self._commits_between(start_seq, end)
 
         def stamp(df: DataFrame, ctype: str, value: str, snap: Snapshot) -> DataFrame:
             return (

@@ -41,6 +41,15 @@ offset older than the retained chain fails loudly (``expire_snapshots``
 GC'd it).  ``option("starting", "latest")`` begins at the current head
 instead of the table's first commit.
 
+Streaming CDC::
+
+    s = spark.readStream.format("icelite").option("cdc", "true").load(root)
+
+Same offsets, but micro-batches carry row-level ``insert``/``delete``
+records with the five CDC metadata columns — the streaming face of
+``IceliteTable.changes_between``, covering append and merge-on-read
+commits (replace commits error or skip; see ``IceliteCDCStreamReader``).
+
 The reference has no storage layer at all (inputs are in-memory arrays,
 reference ``tests/test_pcm.py:10``); this module is the engine's own
 Iceberg-semantics surface wired into Spark's native reader API, so plain
@@ -91,28 +100,25 @@ class _FileSlice(InputPartition):
     deletes: tuple = field(default_factory=tuple)
 
 
-def _read_slice(part: _FileSlice, spark_schema: StructType) -> Iterator:
-    """Executor-side scan of one slice: read the parquet file with pyarrow,
-    apply pending equality deletes (anti-join against the tiny key files —
-    the Arrow twin of the JVM broadcast left-anti in
-    ``IceliteTable._union_delete_classes``), then align to the pinned
-    snapshot schema: evolved columns NULL-backfill, stale extras drop,
-    types cast — the same read-time evolution contract as ``_reader``.
-    Yields Arrow record batches (zero-copy into Spark's Arrow ingest)."""
-    if part.path is None:
-        return
+def _key_join(tbl, key_groups, join_type: str):
+    """Arrow join of ``tbl`` against equality-delete key files —
+    ``left anti`` masks matching rows (the pending-delete semantics),
+    ``left semi`` keeps ONLY them (the changelog's "which live rows did
+    this commit delete" question).  ``key_groups`` is ((path, (col, ...)),
+    ...); files sharing a key-column set are unioned into one key frame."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from pyspark.sql.pandas.types import to_arrow_schema
 
-    tbl = pq.read_table(part.path)
     by_cols: dict[tuple, list[str]] = {}
-    for dpath, cols in part.deletes:
+    for dpath, cols in key_groups:
         by_cols.setdefault(tuple(cols), []).append(dpath)
     for cols, paths in by_cols.items():
         if any(c not in tbl.column_names for c in cols):
             # key column absent from this (pre-evolution) file → reads as
-            # NULL → an equality delete can never match it; skip the join
+            # NULL → an equality delete can never match it; anti keeps
+            # everything, semi keeps nothing
+            if join_type == "left semi":
+                return tbl.slice(0, 0)
             continue
         keys = pa.concat_tables(
             [pq.read_table(p, columns=list(cols)) for p in paths],
@@ -123,7 +129,17 @@ def _read_slice(part: _FileSlice, spark_schema: StructType) -> Iterator:
         keys = keys.select(list(cols)).cast(
             pa.schema([tbl.schema.field(c) for c in cols])
         )
-        tbl = tbl.join(keys, keys=list(cols), join_type="left anti")
+        tbl = tbl.join(keys, keys=list(cols), join_type=join_type)
+    return tbl
+
+
+def _align(tbl, spark_schema: StructType):
+    """Align an Arrow table to the pinned snapshot schema: evolved columns
+    NULL-backfill, stale extras drop, types cast — the same read-time
+    evolution contract as ``IceliteTable._reader``."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     target = to_arrow_schema(spark_schema)
     cols_out = []
     for f in target:
@@ -134,7 +150,22 @@ def _read_slice(part: _FileSlice, spark_schema: StructType) -> Iterator:
             cols_out.append(col)
         else:
             cols_out.append(pa.nulls(tbl.num_rows, f.type))
-    yield from pa.table(cols_out, schema=target).to_batches(max_chunksize=1 << 16)
+    return pa.table(cols_out, schema=target)
+
+
+def _read_slice(part: _FileSlice, spark_schema: StructType) -> Iterator:
+    """Executor-side scan of one slice: read the parquet file with pyarrow,
+    apply pending equality deletes (anti-join against the tiny key files —
+    the Arrow twin of the JVM broadcast left-anti in
+    ``IceliteTable._union_delete_classes``), then align to the pinned
+    snapshot schema.  Yields Arrow record batches (zero-copy into Spark's
+    Arrow ingest)."""
+    if part.path is None:
+        return
+    import pyarrow.parquet as pq
+
+    tbl = _key_join(pq.read_table(part.path), part.deletes, "left anti")
+    yield from _align(tbl, spark_schema).to_batches(max_chunksize=1 << 16)
 
 
 def _filter_spec(f) -> tuple[str, tuple] | None:
@@ -237,6 +268,58 @@ class IceliteBatchReader(DataSourceReader):
         return _read_slice(partition, self._schema)
 
 
+@dataclass
+class _CDCSlice(InputPartition):
+    """One changelog slice: an ``insert`` slice is a commit's own new data
+    file; a ``delete`` slice is one PARENT-snapshot data file whose
+    pending-delete-masked rows are semi-joined against the commit's
+    equality-delete key files (which live rows did this commit delete)."""
+
+    path: str
+    ctype: str  # "insert" | "delete"
+    deletes: tuple  # parent pending deletes to apply first (anti)
+    semi: tuple  # this commit's delete key files ((path, (col, ...)), ...)
+    partition: str
+    seq: int
+    sid: str
+    ts: float
+
+
+def _read_cdc_slice(part: _CDCSlice, spark_schema: StructType) -> Iterator:
+    """Executor-side changelog scan: data columns aligned like a normal
+    slice, then the five CDC metadata columns appended as constants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data_schema = StructType(
+        [f for f in spark_schema.fields if f.name not in _CDC_COLS]
+    )
+    tbl = _key_join(pq.read_table(part.path), part.deletes, "left anti")
+    if part.ctype == "delete":
+        tbl = _key_join(tbl, part.semi, "left semi")
+    tbl = _align(tbl, data_schema)
+    n = tbl.num_rows
+    meta = {
+        "_change_type": pa.array([part.ctype] * n, pa.string()),
+        "_partition": pa.array([part.partition] * n, pa.string()),
+        "_commit_seq": pa.array([part.seq] * n, pa.int64()),
+        "_commit_snapshot_id": pa.array([part.sid] * n, pa.string()),
+        "_commit_timestamp": pa.array([part.ts] * n, pa.float64()),
+    }
+    for name, col in meta.items():
+        tbl = tbl.append_column(name, col)
+    yield from tbl.to_batches(max_chunksize=1 << 16)
+
+
+_CDC_COLS = (
+    "_change_type",
+    "_partition",
+    "_commit_seq",
+    "_commit_snapshot_id",
+    "_commit_timestamp",
+)
+
+
 class IceliteStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, options: dict, schema: StructType):
         self._root = root
@@ -284,6 +367,87 @@ class IceliteStreamReader(DataSourceStreamReader):
         pass
 
 
+class IceliteCDCStreamReader(IceliteStreamReader):
+    """Streaming CHANGELOG reader — ``option("cdc", "true")``::
+
+        spark.readStream.format("icelite").option("cdc", "true").load(root)
+
+    Offsets are snapshot seqs like the append stream, but each micro-batch
+    carries row-level ``insert``/``delete`` records with the five CDC
+    metadata columns (the streaming face of
+    ``IceliteTable.changes_between``).  Planning is metadata-only on the
+    driver; every slice is one parquet file scanned executor-side —
+    inserts come straight off the commit's manifest, deletes are Arrow
+    semi joins of parent files against the commit's tiny equality-delete
+    key files.  Replace commits (overwrite/CoW delete/rollback/compaction)
+    cannot be diffed executor-side — ``on_replace='error'`` (default)
+    fails the stream, ``'skip'`` passes over them (content-preserving for
+    compaction, exactly the append stream's contract); use the batch
+    ``changes_between`` for ranges containing overwrites."""
+
+    def __init__(self, root: str, options: dict, schema: StructType):
+        super().__init__(root, options, schema)
+        if self._on_replace not in ("error", "skip"):
+            raise ValueError("on_replace must be 'error' or 'skip'")
+
+    def partitions(self, start: dict, end: dict):
+        if end.get("sid") is None or end["seq"] <= start["seq"]:
+            return []
+        t = IceliteTable(self._root)
+        out: list[_CDCSlice] = []
+        for snap in t._commits_between(start["seq"], t._load_raw(end["sid"])):
+            d = snap.delta
+            if d["mode"] != "append":
+                if self._on_replace == "error":
+                    raise ValueError(
+                        f"snapshot {snap.snapshot_id} (op={snap.operation!r}, "
+                        f"seq {snap.seq}) replaced data files; the streaming "
+                        "changelog cannot diff it executor-side — pass "
+                        "on_replace='skip' (safe for compaction) or use the "
+                        "batch changes_between"
+                    )
+                continue
+            meta = dict(seq=int(snap.seq), sid=snap.snapshot_id,
+                        ts=float(snap.committed_at))
+            parent = (
+                t._resolve(t._load_raw(snap.parent_id))
+                if snap.parent_id is not None
+                else None
+            )
+            pparts = parent.partitions if parent is not None else {}
+            for value, m in d["parts"].items():
+                for f in m["files"]:
+                    out.append(_CDCSlice(t._abs(f), "insert", (), (),
+                                         value, **meta))
+                dels = m.get("deletes") or ()
+                if not dels or value not in pparts:
+                    continue
+                semi = tuple(
+                    (t._abs(de["file"]), tuple(de["keys"])) for de in dels
+                )
+                pm = pparts[value]
+                fseqs = pm.get("fseq") or [0] * len(pm["files"])
+                pdels = pm.get("deletes") or ()
+                for f, fs in zip(pm["files"], fseqs):
+                    anti = tuple(
+                        (t._abs(de["file"]), tuple(de["keys"]))
+                        for de in pdels
+                        if de["seq"] > fs
+                    )
+                    out.append(_CDCSlice(t._abs(f), "delete", anti, semi,
+                                         value, **meta))
+        return out
+
+    def read(self, partition: _CDCSlice):
+        return _read_cdc_slice(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
 class IceliteDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -295,11 +459,36 @@ class IceliteDataSource(DataSource):
             raise ValueError("icelite: table root required — .load('/path/to/table')")
         return p
 
+    def _cdc(self) -> bool:
+        return str(self.options.get("cdc", "")).lower() in ("true", "1", "yes")
+
     def schema(self) -> StructType:
         t = IceliteTable(self._root())
         meta = self.options.get("metadata")
         if meta:
             return t._meta_schema(meta)
+        if self._cdc():
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StringType,
+                StructField,
+            )
+
+            base = IceliteDataSource(
+                {k: v for k, v in self.options.items() if k != "cdc"}
+            ).schema()
+            kinds = {
+                "_change_type": StringType(),
+                "_partition": StringType(),
+                "_commit_seq": LongType(),
+                "_commit_snapshot_id": StringType(),
+                "_commit_timestamp": DoubleType(),
+            }
+            return StructType(
+                list(base.fields)
+                + [StructField(n, kinds[n], True) for n in _CDC_COLS]
+            )
         as_of = self.options.get("as_of")
         snap = (
             t.snapshot_as_of(float(as_of))
@@ -338,4 +527,5 @@ class IceliteDataSource(DataSource):
         return IceliteBatchReader(self._root(), dict(self.options), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return IceliteStreamReader(self._root(), dict(self.options), schema)
+        cls = IceliteCDCStreamReader if self._cdc() else IceliteStreamReader
+        return cls(self._root(), dict(self.options), schema)

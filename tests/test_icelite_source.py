@@ -210,3 +210,92 @@ def test_streaming_starting_latest(reg, tmp_path):
     q.awaitTermination(180)
     # head-start offset: the pre-existing 200 rows are never emitted
     assert reg.read.parquet(out).count() == 0
+
+
+# ------------------------------------------------------------ streaming CDC
+
+
+def test_streaming_cdc_equals_batch_changelog(reg, tmp_path):
+    """cdc=true stream over appends + MOR upserts + key deletes must emit
+    exactly the batch changes_between rows, exactly once across restarts."""
+    t = IceliteTable(str(tmp_path / "t"))
+    t.append(_batch(reg, 0, 200), partition_col="pt", cluster="bypart")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(**opts):
+        rd = reg.readStream.format("icelite").option("cdc", "true")
+        for k, v in opts.items():
+            rd = rd.option(k, v)
+        q = (
+            rd.load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got1 = reg.read.parquet(out)
+    assert got1.count() == 200
+    assert set(got1.select("_change_type").distinct().toPandas()._change_type) == {
+        "insert"
+    }
+    # an upsert (delete+insert pair) and a cross-partition key delete land
+    # in the NEXT micro-batch only (checkpointed offsets)
+    t.upsert(
+        _batch(reg, 50, 80, v=-2.0),
+        key_cols=["event_id"],
+        partition_col="pt",
+        cluster="bypart",
+    )
+    t.delete_by_keys(
+        reg.createDataFrame([(i,) for i in range(190, 200)], "event_id long"),
+        key_cols=["event_id"],
+    )
+    drain()
+    got = reg.read.parquet(out)
+    assert got.count() == 200 + 30 + 30 + 10
+    # "pt" is the partition column: it lives in manifest keys (surfaced as
+    # _partition), not in data files
+    cols = ["event_id", "value", "_change_type", "_partition", "_commit_seq"]
+    want = t.changes_between(reg).select(*cols)
+    assert _rows(got.select(*cols)) == _rows(want)
+    # the upsert's delete rows carry the OLD value, its inserts the new one
+    # (commit seq 2; seq 1 is the original append's insert)
+    pair = got.filter(
+        (F.col("event_id") == 60) & (F.col("_commit_seq") == 2)
+    ).select("_change_type", "value")
+    assert sorted(map(tuple, pair.collect())) == [("delete", 1.0), ("insert", -2.0)]
+
+
+def test_streaming_cdc_replace_guard(reg, tmp_path):
+    t = IceliteTable(str(tmp_path / "t"))
+    t.append(_batch(reg, 0, 90), partition_col="pt", cluster="bypart")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(**opts):
+        rd = reg.readStream.format("icelite").option("cdc", "true")
+        for k, v in opts.items():
+            rd = rd.option(k, v)
+        q = (
+            rd.load(t.root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    t.compact_partition(reg, "pt", "d0", target_files=1)
+    t.append(_batch(reg, 90, 120, v=7.0), partition_col="pt", cluster="bypart")
+    with pytest.raises(Exception, match="STREAM_FAILED|replaced data files"):
+        drain()
+    # skip mode passes over the compaction and resumes from the checkpoint
+    drain(on_replace="skip")
+    df = reg.read.parquet(out)
+    assert df.count() == 120
+    assert df.filter(F.col("value") == 7.0).count() == 30
