@@ -51,6 +51,7 @@ HEADLINE = [
     # r6: Gopher-style repetition filtering (top/dup n-gram fractions +
     # keep decision) — hash-checked vs an n-gram SQL oracle
     "gopher_repetition",
+    "gopher_repetition_shuffle",
     "fingerprint",
     "corpus_filter",
     # r5: benchmark decontamination (broadcast dirty-ngram set, map-only

@@ -3011,11 +3011,26 @@ def q_gopher_repetition(spark, sf_dir):
     shorter than the smallest n; all JVM expressions.  Fractions are RAW
     doubles (exact-integer division is engine-independent; rounding can
     land on half boundaries) and the keep flag compares the raw ratios, so
-    the oracle is exact at any sf."""
+    the oracle is exact at any sf.
+
+    Runs the operator's DEFAULT zero-shuffle ``maponly`` plan (per-doc
+    Counters in mapInPandas — bit-identical to the relational plan,
+    equality-tested, ~5× faster; the shuffle variant keeps its own bench
+    history as ``gopher_repetition_shuffle``)."""
     from .operators.textstats import repetition_stats
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_stats(d, thresholds=_GOPHER_GATE_THRESHOLDS)
+
+
+def q_gopher_repetition_shuffle(spark, sf_dir):
+    """The SQL-mirrorable relational plan of gopher_repetition (explode +
+    two-stage agg + pivot) — bench-only twin so the shuffle variant's perf
+    history survives the maponly default."""
+    from .operators.textstats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(d, thresholds=_GOPHER_GATE_THRESHOLDS, method="shuffle")
 
 
 def _sql_gopher_repetition(th=_GOPHER_GATE_THRESHOLDS):
@@ -3147,6 +3162,9 @@ def bench_only_queries():
         # window-min canonicalization makes over the same md5(text) key,
         # and the streaming form keeps its own streamed ≡ batch pytest
         "exact_dedup": q_exact_dedup,
+        # bench-only from birth: the relational twin of the hash-green
+        # gopher_repetition gate row (bit-identical results, shuffle plan)
+        "gopher_repetition_shuffle": q_gopher_repetition_shuffle,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "decontaminate_bloom": q_decontaminate_bloom,
         "mad_vs_centroid": q_mad_vs_centroid,
@@ -3219,4 +3237,5 @@ def oracles():
         "icelite_scan": SQL_ICELITE_SCAN,
         "icelite_cdc": SQL_ICELITE_CDC,
         "gopher_repetition": _sql_gopher_repetition(),
+        "gopher_repetition_shuffle": _sql_gopher_repetition(),
     }

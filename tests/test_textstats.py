@@ -93,3 +93,24 @@ def test_repetition_stats_custom_thresholds(spark):
     drop_all = repetition_stats(docs, thresholds={2: 0.0})
     assert keep_all.first().keep == 1
     assert drop_all.first().keep == 0
+
+
+def test_repetition_maponly_equals_shuffle(spark):
+    """The zero-shuffle mapInPandas plan must be bit-identical to the
+    relational plan — same IEEE divisions of the same exact integers."""
+    from hdstats_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "solo"), (9003, "a a a"), (9004, "  padded   text  ")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    a = repetition_stats(docs, method="shuffle")
+    b = repetition_stats(docs, method="maponly")
+    assert a.columns == b.columns
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb  # exact, including the raw double fractions
