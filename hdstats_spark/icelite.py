@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 import uuid
@@ -617,6 +618,79 @@ class IceliteTable:
             self._resolve(s)
         return out
 
+    # ---------------------------------------------------------- refs (tags)
+
+    def _tag_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(
+                f"tag name {name!r} must match [A-Za-z0-9._-]+ (it names a file)"
+            )
+        return os.path.join(self.meta_dir, f"tag-{name}.json")
+
+    def create_tag(self, name: str, snapshot_id: str | None = None) -> str:
+        """Create an immutable named ref to a snapshot (Iceberg's tags —
+        the release-pinning surface: tag the exact corpus snapshot a model
+        trained on and it stays readable verbatim, because
+        ``expire_snapshots`` never GCs a tagged snapshot or its files).
+        Defaults to the current head.  Put-if-absent (O_EXCL): a name can
+        never be silently repointed — remove and re-create to move it."""
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        self._load_raw(sid)  # must exist and be readable
+        path = self._tag_path(name)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"name": name, "snapshot_id": sid, "created_at": time.time()}, f
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # atomic-with-content put-if-absent
+        except FileExistsError:
+            raise FileExistsError(
+                f"tag {name!r} already exists (tags are immutable; "
+                "remove_tag first to repoint)"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        return sid
+
+    def remove_tag(self, name: str) -> None:
+        try:
+            os.unlink(self._tag_path(name))
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r}") from None
+
+    def tags(self) -> dict:
+        """{name: {"snapshot_id", "created_at"}} for every tag."""
+        out = {}
+        if not os.path.isdir(self.meta_dir):
+            return out
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if fn.startswith("tag-") and fn.endswith(".json") and ".tmp." not in fn:
+                try:
+                    with open(os.path.join(self.meta_dir, fn)) as f:
+                        d = json.load(f)
+                    out[d["name"]] = {
+                        "snapshot_id": d["snapshot_id"],
+                        "created_at": d["created_at"],
+                    }
+                except (OSError, json.JSONDecodeError, KeyError):
+                    continue  # torn legacy tmp or concurrent removal
+        return out
+
+    def resolve_ref(self, name: str) -> str:
+        try:
+            with open(self._tag_path(name)) as f:
+                return json.load(f)["snapshot_id"]
+        except FileNotFoundError:
+            raise KeyError(f"no tag {name!r}") from None
+
     # ------------------------------------------------------------- rollback
 
     def rollback_to(
@@ -666,7 +740,7 @@ class IceliteTable:
 
     # ------------------------------------------------------- metadata tables
 
-    _META_KINDS = ("snapshots", "files", "partitions")
+    _META_KINDS = ("snapshots", "files", "partitions", "tags")
 
     def _meta_schema(self, kind: str):
         """Spark schema of one metadata table (shared by the DataFrame
@@ -701,6 +775,14 @@ class IceliteTable:
                     T.StructField("size_bytes", T.LongType(), True),
                     T.StructField("row_count", T.LongType(), True),
                     T.StructField("stats", T.StringType(), True),
+                ]
+            )
+        if kind == "tags":
+            return T.StructType(
+                [
+                    T.StructField("name", T.StringType(), False),
+                    T.StructField("snapshot_id", T.StringType(), False),
+                    T.StructField("created_at", T.DoubleType(), False),
                 ]
             )
         if kind == "partitions":
@@ -753,6 +835,11 @@ class IceliteTable:
                 )
             return out
 
+        if kind == "tags":
+            return [
+                (name, t["snapshot_id"], float(t["created_at"]))
+                for name, t in self.tags().items()
+            ]
         snap = self.snapshot(snapshot_id)
         if snap is None:
             return []
@@ -1565,6 +1652,7 @@ class IceliteTable:
         partitions: list[str] | None = None,
         where: dict | None = None,
         as_of: float | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read a snapshot (default: current), optionally pruned to given
         partition values — manifest-level partition pruning, so Spark never
@@ -1581,7 +1669,12 @@ class IceliteTable:
         point lookup (one conv_id, one hour) touches the few files whose
         range covers it instead of every file of the matching day.
         ``self.last_scan`` records (files_considered, files_read) for plan
-        assertions and the bench harness."""
+        assertions and the bench harness.  ``ref`` reads a named tag
+        (mutually exclusive with snapshot_id/as_of)."""
+        if ref is not None:
+            if snapshot_id is not None or as_of is not None:
+                raise ValueError("pass ref OR snapshot_id/as_of, not both")
+            snapshot_id = self.resolve_ref(ref)
         had_where = bool(where)
         snap, classes, dentries, where = self._plan_scan(
             snapshot_id, partitions, where, as_of
@@ -2432,24 +2525,39 @@ class IceliteTable:
                 keep.add(current)
             if cutoff is not None:
                 keep.update(s.snapshot_id for s in snaps if s.committed_at >= cutoff)
+            # TAGGED snapshots are pinned (Iceberg's tag-retention rule):
+            # a tag whose snapshot predates the kept suffix survives as an
+            # ISLAND — checkpointed below so it resolves without ancestors
+            present = {s.snapshot_id for s in snaps}
+            keep.update(
+                t["snapshot_id"]
+                for t in self.tags().values()
+                if t["snapshot_id"] in present
+            )
             expired = [s for s in snaps if s.snapshot_id not in keep]
             if not expired:
                 return {"snapshots_removed": 0, "files_removed": 0}
-            # keep the survivors' chains resolvable: checkpoint the oldest
-            # retained snapshot before its ancestors disappear
+            # keep the survivors resolvable: any retained snapshot whose
+            # parent is expiring (the suffix's oldest, and every tagged
+            # island) is rewritten as a checkpoint before its ancestors
+            # disappear
             kept = [s for s in snaps if s.snapshot_id in keep]
-            if kept and kept[0].kind != "checkpoint":
-                oldest = kept[0]
-                oldest.kind = "checkpoint"
-                oldest.parent_id = None  # ancestors are gone after this GC
+            expired_ids = {s.snapshot_id for s in expired}
+            for s in kept:
+                if s.kind == "checkpoint":
+                    continue
+                if s.parent_id is not None and s.parent_id not in expired_ids:
+                    continue  # parent survives; delta chain stays walkable
+                s.kind = "checkpoint"
+                s.parent_id = None  # ancestors are gone after this GC
                 # write-temp + atomic replace: reads are LOCK-FREE, so an
                 # in-place open(path, "w") would expose a truncated JSON to
                 # a concurrent reader mid-walk (same pattern as the
                 # `current` flip)
-                path = self._snapshot_path(oldest.snapshot_id)
+                path = self._snapshot_path(s.snapshot_id)
                 tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
                 with open(tmp, "w") as f:
-                    json.dump(oldest.to_json(), f, indent=2, default=str)
+                    json.dump(s.to_json(), f, indent=2, default=str)
                 os.replace(tmp, path)
             live_files: set[str] = set()
             for s in kept:
@@ -2487,9 +2595,10 @@ class IceliteTable:
             for s in expired:
                 os.unlink(self._snapshot_path(s.snapshot_id))
                 try:
-                    # expired snapshots are a PREFIX of the chain, so their
-                    # generations are all below every survivor's — removing
-                    # them never breaks the hint's forward probe
+                    # every expired generation is below the hint's seq (the
+                    # head always survives), and the reader probe only walks
+                    # FORWARD from the hint — holes below it (incl. around
+                    # tagged islands) are never visited
                     os.unlink(self._gen_path(s.seq))
                 except FileNotFoundError:
                     pass  # pre-CAS table

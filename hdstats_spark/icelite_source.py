@@ -246,8 +246,11 @@ class IceliteBatchReader(DataSourceReader):
         t = IceliteTable(self._root)
         pj = self._options.get("partitions")
         as_of = self._options.get("as_of")
+        sid = self._options.get("snapshot_id")
+        if self._options.get("ref"):
+            sid = t.resolve_ref(self._options["ref"])
         snap, classes, dentries, _ = t._plan_scan(
-            snapshot_id=self._options.get("snapshot_id"),
+            snapshot_id=sid,
             partitions=json.loads(pj) if pj else None,
             where=dict(self._pushed) or None,
             as_of=float(as_of) if as_of else None,
@@ -490,11 +493,11 @@ class IceliteDataSource(DataSource):
                 + [StructField(n, kinds[n], True) for n in _CDC_COLS]
             )
         as_of = self.options.get("as_of")
-        snap = (
-            t.snapshot_as_of(float(as_of))
-            if as_of
-            else t.snapshot(self.options.get("snapshot_id"))
-        )
+        sid = self.options.get("snapshot_id")
+        ref = self.options.get("ref")
+        if ref:
+            sid = t.resolve_ref(ref)
+        snap = t.snapshot_as_of(float(as_of)) if as_of else t.snapshot(sid)
         if snap is None:
             raise FileNotFoundError(f"no snapshot in {t.root}")
         if snap.schema is not None:

@@ -198,3 +198,72 @@ def test_metadata_via_data_source(spark, meta_table):
         )
         assert ds.schema == native.schema
         assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, native.collect()))
+
+
+# ------------------------------------------------------------------- tags
+
+
+def test_tag_create_read_remove(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tag1"))
+    s1 = t.append(_mk(spark, [(1, "a", "d1")]), partition_col="day")
+    t.append(_mk(spark, [(2, "b", "d1")]), partition_col="day")
+    assert t.create_tag("v1.0", s1.snapshot_id) == s1.snapshot_id
+    assert t.create_tag("head") == t.current_snapshot_id()  # defaults to head
+    assert _vals(t, spark, ref="v1.0") == [(1, "a")]
+    assert _vals(t, spark, ref="head") == [(1, "a"), (2, "b")]
+    assert set(t.tags()) == {"v1.0", "head"}
+    # immutable: same name cannot be silently repointed
+    with pytest.raises(FileExistsError, match="immutable"):
+        t.create_tag("v1.0")
+    t.remove_tag("head")
+    with pytest.raises(KeyError):
+        t.resolve_ref("head")
+    with pytest.raises(KeyError):
+        t.remove_tag("head")
+    with pytest.raises(ValueError, match="tag name"):
+        t.create_tag("bad/name")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, snapshot_id=s1.snapshot_id, ref="v1.0")
+    # tags metadata table
+    rows = t._meta_rows("tags")
+    assert rows == [("v1.0", s1.snapshot_id, rows[0][2])]
+
+
+def test_tagged_snapshot_survives_expiry_as_island(spark, tmp_path):
+    """expire_snapshots pins tagged snapshots AND their files; a tag older
+    than the kept suffix becomes a checkpointed island, readable verbatim."""
+    t = IceliteTable(str(tmp_path / "tag2"))
+    s1 = t.append(_mk(spark, [(1, "a", "d1")]), partition_col="day")
+    t.create_tag("train-corpus", s1.snapshot_id)
+    t.overwrite_partitions(_mk(spark, [(1, "b", "d1")]), "day")
+    t.append(_mk(spark, [(3, "c", "d2")]), partition_col="day")
+    res = t.expire_snapshots(keep_last=1)
+    # the middle overwrite expired; s1 survived as a tagged island
+    assert res["snapshots_removed"] == 1
+    assert {s.snapshot_id for s in t.snapshots()} >= {s1.snapshot_id}
+    island = t._load_raw(s1.snapshot_id)
+    assert island.kind == "checkpoint" and island.parent_id is None
+    assert _vals(t, spark, ref="train-corpus") == [(1, "a")]  # files intact
+    assert _vals(t, spark) == [(1, "b"), (3, "c")]
+    # dropping the tag releases the island on the next expiry
+    t.remove_tag("train-corpus")
+    res = t.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] == 1
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=s1.snapshot_id)
+
+
+def test_tag_via_data_source(spark, tmp_path):
+    from hdstats_spark.icelite_source import register
+
+    register(spark)
+    t = IceliteTable(str(tmp_path / "tag3"))
+    s1 = t.append(_mk(spark, [(1, "a", "d1")]), partition_col="day")
+    t.append(_mk(spark, [(2, "b", "d1")]), partition_col="day")
+    t.create_tag("pin", s1.snapshot_id)
+    ds = spark.read.format("icelite").option("ref", "pin").load(t.root)
+    assert sorted((r.k, r.v) for r in ds.collect()) == [(1, "a")]
+    tags = spark.read.format("icelite").option("metadata", "tags").load(t.root)
+    assert [(r.name, r.snapshot_id) for r in tags.collect()] == [
+        ("pin", s1.snapshot_id)
+    ]
