@@ -50,10 +50,18 @@ records with the five CDC metadata columns — the streaming face of
 ``IceliteTable.changes_between``, covering append and merge-on-read
 commits (replace commits error or skip; see ``IceliteCDCStreamReader``).
 
+Writing::
+
+    df.write.format("icelite").mode("append") \
+      .option("partition_col", "day").save(root)       # gen-CAS append
+    df.write.format("icelite").mode("overwrite")...    # DYNAMIC partition overwrite
+    df.writeStream.format("icelite")...                # exactly-once per micro-batch
+
 The reference has no storage layer at all (inputs are in-memory arrays,
 reference ``tests/test_pcm.py:10``); this module is the engine's own
-Iceberg-semantics surface wired into Spark's native reader API, so plain
-``spark.read`` / ``spark.readStream`` users never touch ``IceliteTable``.
+Iceberg-semantics surface wired into Spark's native reader AND writer
+APIs, so plain ``spark.read`` / ``spark.readStream`` / ``df.write`` /
+``df.writeStream`` users never touch ``IceliteTable``.
 """
 
 from __future__ import annotations
@@ -65,7 +73,9 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -74,6 +84,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -451,6 +462,194 @@ class IceliteCDCStreamReader(IceliteStreamReader):
         pass
 
 
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    """Per-task commit message: ((partition_value, root-relative path,
+    rows), ...) for the files this task wrote."""
+
+    files: tuple
+
+
+class IceliteArrowWriter(DataSourceArrowWriter):
+    """Batch writer face — ``df.write.format("icelite")``::
+
+        (df.write.format("icelite").mode("append")
+           .option("partition_col", "day").save(root))
+
+    Executor tasks stream their Arrow batches straight into parquet files
+    under one commit directory (partition column split per task, dropped
+    from the files — it lives in manifest keys, like every icelite
+    writer); the DRIVER-side ``commit`` reads only the footers (row
+    counts + fmt-2 min/max stats) and runs the same gen-file-CAS
+    ``_commit_delta`` as ``IceliteTable.append``, so concurrent writers
+    retry-merge instead of clobbering and appends into merge-on-read
+    partitions get their birth seq stamped.  ``mode("overwrite")`` is
+    DYNAMIC partition overwrite (Iceberg's ``overwritePartitions``): only
+    the partitions present in the written data are replaced.  ``abort``
+    unlinks everything the tasks wrote — nothing is referenced until the
+    commit lands."""
+
+    def __init__(self, root: str, options: dict, schema: StructType, overwrite: bool):
+        import uuid
+
+        self._root = root
+        self._options = options
+        self._schema = schema
+        self._overwrite = overwrite
+        self._pcol = options.get("partition_col")
+        if self._pcol and self._pcol not in schema.fieldNames():
+            raise ValueError(
+                f"partition_col {self._pcol!r} not in the written columns"
+            )
+        self._commit_rel = os.path.join("data", f"commit-{uuid.uuid4().hex[:12]}")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        batches = list(iterator)
+        full = to_arrow_schema(self._schema)
+        tbl = (
+            pa.Table.from_batches(batches)
+            if batches
+            else pa.table([pa.nulls(0, f.type) for f in full], schema=full)
+        )
+        cdir = os.path.join(self._root, self._commit_rel)
+        os.makedirs(cdir, exist_ok=True)
+        out = []
+
+        def dump(value, part_tbl):
+            if part_tbl.num_rows == 0:
+                return
+            name = f"part-{uuid.uuid4().hex[:16]}.parquet"
+            pq.write_table(part_tbl, os.path.join(cdir, name))
+            out.append(
+                (value, os.path.join(self._commit_rel, name), part_tbl.num_rows)
+            )
+
+        if self._pcol is None:
+            dump("__all__", tbl)
+        else:
+            import pyarrow.compute as pc
+
+            keys = pc.cast(tbl.column(self._pcol), pa.string())
+            data = tbl.drop_columns([self._pcol])
+            for value in pc.unique(keys).to_pylist():
+                if value is None:
+                    raise ValueError(f"NULL {self._pcol} partition value")
+                dump(value, data.filter(pc.equal(keys, value)))
+        return _WriteResult(tuple(out))
+
+    # ------------------------------------------------------------- driver
+
+    def _gather(self, messages):
+        by_value: dict[str, list[tuple[str, int]]] = {}
+        for msg in messages:
+            for value, rel, rows in msg.files:
+                by_value.setdefault(value, []).append((rel, rows))
+        return by_value
+
+    def _build_manifest(self, t: IceliteTable, by_value: dict) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        from .icelite import _file_stats
+
+        paths = [rel for fs in by_value.values() for rel, _ in fs]
+        scols_box = [None]
+
+        def footer(rel):
+            pf = pq.ParquetFile(os.path.join(self._root, rel))
+            if scols_box[0] is None:
+                scols_box[0] = t._resolve_stats_cols(pf)
+            return _file_stats(pf, scols_box[0], t.STATS_MAX_STR)
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            stats = dict(zip(paths, ex.map(footer, paths)))
+        return {
+            value: {
+                "files": [rel for rel, _ in fs],
+                "rows": int(sum(r for _, r in fs)),
+                "stats": [stats[rel] for rel, _ in fs],
+            }
+            for value, fs in by_value.items()
+        }
+
+    def _data_fields(self):
+        return [
+            f
+            for f in self._schema.jsonValue()["fields"]
+            if f["name"] != self._pcol
+        ]
+
+    def commit(self, messages):
+        by_value = self._gather(messages)
+        if not by_value:
+            self.abort(messages)
+            return
+        t = IceliteTable(self._root)
+        t._commit_delta(
+            "overwrite" if self._overwrite else "append",
+            "replace" if self._overwrite else "append",
+            self._build_manifest(t, by_value),
+            {"writer": "spark-datasource"},
+            self._data_fields(),
+            self._pcol,
+        )
+
+    def abort(self, messages):
+        for msg in messages:
+            for _, rel, _ in msg.files:
+                try:
+                    os.unlink(os.path.join(self._root, rel))
+                except (OSError, TypeError):
+                    pass
+
+
+class IceliteStreamArrowWriter(IceliteArrowWriter, DataSourceStreamArrowWriter):
+    """Streaming writer face — ``df.writeStream.format("icelite")``: one
+    icelite append commit per micro-batch, EXACTLY-ONCE by recording the
+    micro-batch id in the commit lineage and skipping (with file cleanup)
+    any batch id at or below the last committed one — the same idempotent
+    replay contract as the engine's foreachBatch sink
+    (streaming/stream.py), now reachable without writing any Python."""
+
+    def __init__(self, root: str, options: dict, schema: StructType):
+        super().__init__(root, options, schema, overwrite=False)
+
+    def _already_committed(self, t: IceliteTable, batch_id: int) -> bool:
+        sid = t.current_snapshot_id()
+        while sid is not None:
+            s = t._load_raw(sid)
+            mb = (s.lineage or {}).get("micro_batch")
+            if mb is not None and (s.lineage or {}).get("writer") == "spark-datasource":
+                return int(mb) >= batch_id
+            sid = s.parent_id
+        return False
+
+    def commit(self, messages, batchId: int):
+        by_value = self._gather(messages)
+        t = IceliteTable(self._root)
+        if not by_value or self._already_committed(t, int(batchId)):
+            self.abort(messages, batchId)  # replayed/empty: files are orphans
+            return
+        t._commit_delta(
+            "append",
+            "append",
+            self._build_manifest(t, by_value),
+            {"writer": "spark-datasource", "micro_batch": int(batchId)},
+            self._data_fields(),
+            self._pcol,
+        )
+
+    def abort(self, messages, batchId: int):
+        IceliteArrowWriter.abort(self, messages)
+
+
 class IceliteDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -532,3 +731,9 @@ class IceliteDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         cls = IceliteCDCStreamReader if self._cdc() else IceliteStreamReader
         return cls(self._root(), dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return IceliteArrowWriter(self._root(), dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return IceliteStreamArrowWriter(self._root(), dict(self.options), schema)
