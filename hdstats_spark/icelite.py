@@ -2207,6 +2207,63 @@ class IceliteTable:
 
     # ------------------------------------------------------- maintenance
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        partition_col: str | None = None,
+        max_files: int = 8,
+        max_delete_files: int = 2,
+        target_files: int = 1,
+        cluster_col: str | list[str] | None = None,
+        keep_last: int | None = None,
+        older_than_s: float | None = None,
+    ) -> dict:
+        """One idempotent MAINTENANCE pass — the policy wrapper a scheduler
+        (cron, the streaming sink's ``compact_every`` hook, an Airflow
+        task) calls instead of hand-sequencing Iceberg-style actions:
+
+        1. compact every partition whose data-file count exceeds
+           ``max_files`` OR whose pending equality-delete backlog exceeds
+           ``max_delete_files`` delete files (compaction also materializes
+           the backlog, restoring the anti-join-free read plan), rewriting
+           to ``target_files`` files, optionally ``cluster_col``-clustered
+           (Z-order when a list is given);
+        2. if ``keep_last``/``older_than_s`` is given, ``expire_snapshots``
+           afterwards (tagged snapshots stay pinned).
+
+        Conflict-skipped compactions (a concurrent writer touched the
+        partition) are counted, not raised — the next pass retries, so
+        running this from multiple schedules is safe.  Partition order is
+        deterministic (sorted) and each compaction is its own commit, so a
+        crash mid-pass loses nothing.  Returns
+        ``{"compacted": [...], "skipped": [...], "expired": {...}|None}``."""
+        snap = self.snapshot()
+        if snap is None:
+            return {"compacted": [], "skipped": [], "expired": None}
+        pcol = partition_col or snap.partition_col
+        if pcol is None:
+            raise ValueError("maintain needs partition_col (unversioned table)")
+        backlog = self.pending_deletes()
+        compacted, skipped = [], []
+        for value in sorted(snap.partitions):
+            m = snap.partitions[value]
+            if (
+                len(m["files"]) <= max_files
+                and backlog.get(value, {}).get("files", 0) <= max_delete_files
+            ):
+                continue
+            res = self.compact_partition(
+                spark, pcol, value, target_files, cluster_col=cluster_col
+            )
+            (compacted if res is not None else skipped).append(value)
+        expired = None
+        if keep_last is not None or older_than_s is not None:
+            expired = self.expire_snapshots(
+                keep_last=keep_last if keep_last is not None else 1,
+                older_than_s=older_than_s,
+            )
+        return {"compacted": compacted, "skipped": skipped, "expired": expired}
+
     def compact_partition(
         self,
         spark: SparkSession,

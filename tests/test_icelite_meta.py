@@ -267,3 +267,42 @@ def test_tag_via_data_source(spark, tmp_path):
     assert [(r.name, r.snapshot_id) for r in tags.collect()] == [
         ("pin", s1.snapshot_id)
     ]
+
+
+# ------------------------------------------------------------- maintenance
+
+
+def test_maintain_policy_pass(spark, tmp_path):
+    """maintain(): compacts only partitions over the file/backlog
+    thresholds, then expires — one schedulable idempotent call."""
+    t = IceliteTable(str(tmp_path / "mt1"))
+    # d1: 5 small appends (over max_files=3); d2: single append (under)
+    for i in range(5):
+        t.append(_mk(spark, [(i, f"v{i}", "d1")]), partition_col="day")
+    t.append(_mk(spark, [(100, "w", "d2")]), partition_col="day")
+    before = _vals(t, spark)
+    res = t.maintain(spark, max_files=3, keep_last=1)
+    assert res["compacted"] == ["d1"] and res["skipped"] == []
+    assert res["expired"]["snapshots_removed"] > 0
+    snap = t.snapshot()
+    assert len(snap.partitions["d1"]["files"]) == 1
+    assert len(snap.partitions["d2"]["files"]) == 1  # untouched
+    assert _vals(t, spark) == before
+    # idempotent: a second pass finds nothing to do
+    res2 = t.maintain(spark, max_files=3, keep_last=1)
+    assert res2 == {"compacted": [], "skipped": [], "expired": None} or (
+        res2["compacted"] == [] and res2["expired"]["snapshots_removed"] == 0
+    )
+
+
+def test_maintain_materializes_delete_backlog(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "mt2"))
+    t.append(_mk(spark, [(1, "a", "d1"), (2, "b", "d1")]), partition_col="day")
+    for i in range(3):  # 3 upserts -> 3 pending delete files in d1
+        t.upsert(_mk(spark, [(1, f"a{i}", "d1")]), key_cols=["k"], partition_col="day")
+    assert t.pending_deletes()["d1"]["files"] == 3
+    before = _vals(t, spark)
+    res = t.maintain(spark, max_files=100, max_delete_files=2)
+    assert res["compacted"] == ["d1"]
+    assert t.pending_deletes() == {}  # backlog materialized
+    assert _vals(t, spark) == before
