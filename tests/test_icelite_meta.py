@@ -306,3 +306,52 @@ def test_maintain_materializes_delete_backlog(spark, tmp_path):
     assert res["compacted"] == ["d1"]
     assert t.pending_deletes() == {}  # backlog materialized
     assert _vals(t, spark) == before
+
+
+# ---------------------------------------------------------- direct writes
+
+
+def test_append_direct_equals_bypart(spark, tmp_path):
+    """cluster='direct' (per-task Arrow writes, no Spark commit protocol)
+    must be content-identical to the partitionBy path, with fmt-2 stats."""
+    import json as _json
+
+    a = IceliteTable(str(tmp_path / "da"))
+    b = IceliteTable(str(tmp_path / "db"))
+    df = spark.range(0, 5000).selectExpr(
+        "cast(id as int) k", "concat('v', id % 7) v", "concat('d', id % 3) day"
+    )
+    a.append(df, partition_col="day", cluster="direct")
+    b.append(df, partition_col="day", cluster="bypart")
+    assert _vals(a, spark) == _vals(b, spark)
+    assert a.committed_partitions() == b.committed_partitions()
+    sa = a.snapshot()
+    st = sa.partitions["d0"]["stats"][0]
+    assert "__cols__" in st and "k" in st  # fmt-2 stats recorded
+    # stats drive file skipping exactly like every other write mode
+    a.read(spark, where={"k": ("=", 1)})
+    assert a.last_scan["files_read"] <= a.last_scan["files_considered"]
+    # MOR interop: a direct append into a partition with pending deletes is
+    # born PAST the delete seq (not masked)
+    a.upsert(
+        spark.createDataFrame([(1, "u", "d1")], SCHEMA),
+        key_cols=["k"],
+        partition_col="day",
+        cluster="bypart",
+    )
+    a.append(
+        spark.createDataFrame([(1, "fresh", "d1")], SCHEMA),
+        partition_col="day",
+        cluster="direct",
+    )
+    vals = dict()
+    for k, v in _vals(a, spark):
+        vals.setdefault(k, []).append(v)
+    assert sorted(vals[1]) == ["fresh", "u"]
+
+
+def test_append_direct_unpartitioned(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "du"))
+    t.append(_mk(spark, [(1, "a", "d1"), (2, "b", "d2")]), cluster="direct")
+    assert t.committed_partitions() == {"__all__"}
+    assert _vals(t, spark) == [(1, "a"), (2, "b")]

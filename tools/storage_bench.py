@@ -41,6 +41,8 @@ def bench_write(spark, scratch, n, face):
     t0 = time.time()
     if face == "datasource":
         df.write.format("icelite").mode("append").option("partition_col", "pt").save(root)
+    elif face == "native_direct":
+        IceliteTable(root).append(df, partition_col="pt", cluster="direct")
     else:
         IceliteTable(root).append(df, partition_col="pt", cluster="asis")
     dt = time.time() - t0
@@ -88,9 +90,10 @@ def main():
         res = {
             "write_datasource": [bench_write(spark, scratch, n, "datasource") for n in (small, big)],
             "write_native": [bench_write(spark, scratch, n, "native") for n in (small, big)],
+            "write_native_direct": [bench_write(spark, scratch, n, "native_direct") for n in (small, big)],
             "cdc_read": bench_cdc(spark, scratch, small),
         }
-        for k in ("write_datasource", "write_native"):
+        for k in ("write_datasource", "write_native", "write_native_direct"):
             a, b = res[k]
             res[k + "_scale_ratio"] = round((b["sec"] / a["sec"]) / (b["rows"] / a["rows"]), 3)
         print(json.dumps(res))
