@@ -178,3 +178,66 @@ def test_empty_range_and_expired_range(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         t.changes_between(spark, s1.snapshot_id)
+
+
+def test_changelog_replay_over_random_commit_sequences(spark, tmp_path):
+    """Randomized (seeded) histories over every commit kind: for each
+    prefix checkpoint, from-state + changelog must replay to head-state.
+    This is the changelog's whole contract under composition — interleaved
+    MOR deletes, overwrites, compactions, and rollbacks included."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = IceliteTable(str(tmp_path / f"rand{seed}"))
+        t.append(
+            _mk(spark, [(k, f"v{k}", f"d{k % 3}") for k in range(12)]),
+            partition_col="day",
+        )
+        checkpoints = [t.snapshot().snapshot_id]
+        next_k = 100
+        for step in range(8):
+            op = rng.choice(["append", "upsert", "delete_keys", "overwrite",
+                             "compact", "rollback"])
+            if op == "append":
+                rows = [(next_k + i, f"a{step}", f"d{(next_k + i) % 3}") for i in range(3)]
+                next_k += 3
+                t.append(_mk(spark, rows), partition_col="day")
+            elif op == "upsert":
+                live = [r.k for r in t.read(spark).select("k").collect()]
+                if not live:
+                    continue
+                pick = rng.sample(live, min(3, len(live)))
+                t.upsert(
+                    _mk(spark, [(k, f"u{step}", f"d{k % 3}") for k in pick]),
+                    key_cols=["k"],
+                    partition_col="day",
+                )
+            elif op == "delete_keys":
+                live = [r.k for r in t.read(spark).select("k").collect()]
+                if not live:
+                    continue
+                pick = rng.sample(live, min(2, len(live)))
+                t.delete_by_keys(
+                    spark.createDataFrame([(k,) for k in pick], "k int"),
+                    key_cols=["k"],
+                )
+            elif op == "overwrite":
+                part = rng.choice(["d0", "d1", "d2"])
+                rows = [(next_k, f"o{step}", part)]
+                next_k += 1
+                t.overwrite_partitions(_mk(spark, rows), "day")
+            elif op == "compact":
+                parts = sorted(t.committed_partitions())
+                if parts:
+                    t.compact_partition(spark, "day", rng.choice(parts))
+            elif op == "rollback":
+                target = rng.choice(checkpoints)
+                try:
+                    t.rollback_to(target)
+                except FileNotFoundError:
+                    continue
+            checkpoints.append(t.snapshot().snapshot_id)
+        # replay from several prefix points (incl. table birth)
+        for frm in [None, checkpoints[0], checkpoints[len(checkpoints) // 2]]:
+            _replay(t, spark, frm)
