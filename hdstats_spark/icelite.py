@@ -474,10 +474,18 @@ class IceliteTable:
     def _snapshot_path(self, sid: str) -> str:
         return os.path.join(self.meta_dir, f"snapshot-{sid}.json")
 
-    def _gen_path(self, seq: int) -> str:
-        return os.path.join(self.meta_dir, f"gen-{seq:012d}")
+    def _gen_path(self, seq: int, branch: str = "main") -> str:
+        # branch gen namespaces are disjoint from main's, so each branch
+        # head has its own put-if-absent CAS chain
+        tag = "" if branch == "main" else f"{branch}-"
+        return os.path.join(self.meta_dir, f"gen-{tag}{seq:012d}")
 
-    def current_snapshot_id(self) -> str | None:
+    def _hint_path(self, branch: str = "main") -> str:
+        return os.path.join(
+            self.meta_dir, "current" if branch == "main" else f"current-{branch}"
+        )
+
+    def current_snapshot_id(self, branch: str = "main") -> str | None:
         """Resolve the live snapshot: read the `current` HINT, then probe
         generation files FORWARD until the first missing one.
 
@@ -487,7 +495,7 @@ class IceliteTable:
         rewrite, so readers must probe past it.  Probing is O(1) amortized:
         the hint is rewritten on every successful commit, so the forward
         walk is almost always zero or one step."""
-        cur = os.path.join(self.meta_dir, "current")
+        cur = self._hint_path(branch)
         sid: str | None = None
         seq = 0
         try:
@@ -498,11 +506,12 @@ class IceliteTable:
                 # hint format "sid seq"; pre-CAS hints carried only the sid
                 seq = int(parts[1]) if len(parts) > 1 else self._load_raw(sid).seq
         except FileNotFoundError:
-            pass
+            if branch != "main":
+                raise KeyError(f"no branch {branch!r}") from None
         probe = seq + 1 if sid else 1
         while True:
             try:
-                with open(self._gen_path(probe)) as f:
+                with open(self._gen_path(probe, branch)) as f:
                     nxt = f.read().strip()
             except FileNotFoundError:
                 return sid
@@ -579,8 +588,8 @@ class IceliteTable:
             self._mcache = (orig.snapshot_id, base)
             return orig
 
-    def snapshot(self, sid: str | None = None) -> Snapshot | None:
-        sid = sid or self.current_snapshot_id()
+    def snapshot(self, sid: str | None = None, branch: str = "main") -> Snapshot | None:
+        sid = sid or self.current_snapshot_id(branch)
         if sid is None:
             return None
         return self._resolve(self._load_raw(sid))
@@ -685,11 +694,137 @@ class IceliteTable:
         return out
 
     def resolve_ref(self, name: str) -> str:
+        """Resolve a named ref — a tag first, then a branch head (one
+        namespace, like Iceberg's refs)."""
         try:
             with open(self._tag_path(name)) as f:
                 return json.load(f)["snapshot_id"]
         except FileNotFoundError:
-            raise KeyError(f"no tag {name!r}") from None
+            pass
+        try:
+            sid = self.current_snapshot_id(name)
+        except KeyError:
+            raise KeyError(f"no tag or branch {name!r}") from None
+        if sid is None:
+            raise KeyError(f"branch {name!r} has no head")
+        return sid
+
+    # ------------------------------------------------------------ branches
+
+    def create_branch(self, name: str, from_snapshot_id: str | None = None) -> str:
+        """Create a writable BRANCH (Iceberg's branches) forked from a
+        snapshot (default: current main head).  Branch commits go through
+        the same optimistic gen-file CAS as main, in a branch-scoped
+        generation namespace, so main is completely unaffected until
+        ``fast_forward`` publishes — the write-audit-publish pattern:
+        stage a corpus drop on a branch, run QC against ``read(branch=)``,
+        publish atomically (or ``drop_branch`` to discard)."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
+            raise ValueError(f"invalid branch name {name!r}")
+        sid = from_snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        fork = self._load_raw(sid)
+        path = self._hint_path(name)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(f"{fork.snapshot_id} {fork.seq}")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # put-if-absent: no silent re-fork
+        except FileExistsError:
+            raise FileExistsError(f"branch {name!r} already exists") from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        return fork.snapshot_id
+
+    def branches(self) -> dict:
+        """{name: head snapshot_id} for every branch (main excluded)."""
+        out = {}
+        if not os.path.isdir(self.meta_dir):
+            return out
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if fn.startswith("current-") and ".tmp." not in fn:
+                name = fn[len("current-"):]
+                try:
+                    out[name] = self.current_snapshot_id(name)
+                except (KeyError, OSError):
+                    continue
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch: its head hint and branch-scoped generation
+        files go away; its snapshots' files become unreferenced and are
+        reaped by the next ``expire_snapshots``."""
+        try:
+            os.unlink(self._hint_path(name))
+        except FileNotFoundError:
+            raise KeyError(f"no branch {name!r}") from None
+        prefix = f"gen-{name}-"
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith(prefix):
+                try:
+                    os.unlink(os.path.join(self.meta_dir, fn))
+                except FileNotFoundError:
+                    pass
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """PUBLISH a branch: advance main to the branch head, valid only
+        when main is an ancestor of it (i.e. main has not moved since the
+        fork) — Iceberg's fast-forward.  Publication is the branch's
+        commits' generation files hard-linked into MAIN's namespace oldest
+        first: the first link is the same put-if-absent CAS every commit
+        uses, so a concurrent main commit makes it fail (CommitConflict)
+        and NOTHING is published out of order; a crash mid-publish leaves
+        main at a prefix of the branch — every published state is a real
+        branch state — and re-running fast_forward resumes idempotently
+        (gens already carrying our sid are skipped)."""
+        head_sid = self.current_snapshot_id(name)
+        main_sid = self.current_snapshot_id()
+        if head_sid == main_sid:
+            return self.snapshot()
+        # main must be an ancestor of the branch head
+        chain = []
+        s = self._load_raw(head_sid)
+        while s.snapshot_id != main_sid:
+            chain.append(s)
+            if s.parent_id is None:
+                raise CommitConflict(
+                    f"cannot fast-forward {name!r}: main ({main_sid}) moved "
+                    "since the fork (not an ancestor of the branch head)"
+                )
+            s = self._load_raw(s.parent_id)
+        for snap in reversed(chain):
+            gtmp = os.path.join(self.meta_dir, f".ffgen.{snap.snapshot_id}")
+            with open(gtmp, "w") as f:
+                f.write(snap.snapshot_id)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(gtmp, self._gen_path(snap.seq))
+            except FileExistsError:
+                with open(self._gen_path(snap.seq)) as f:
+                    existing = f.read().strip()
+                if existing != snap.snapshot_id:
+                    raise CommitConflict(
+                        f"cannot fast-forward {name!r}: a concurrent main "
+                        f"commit took generation {snap.seq}"
+                    )
+                # already published (resumed fast-forward) — continue
+            finally:
+                try:
+                    os.unlink(gtmp)
+                except FileNotFoundError:
+                    pass
+            tmp = os.path.join(self.meta_dir, f".current.{snap.snapshot_id}")
+            with open(tmp, "w") as f:
+                f.write(f"{snap.snapshot_id} {snap.seq}")
+            os.replace(tmp, self._hint_path())
+        return self.snapshot()
 
     # ------------------------------------------------------------- rollback
 
@@ -1152,12 +1287,12 @@ class IceliteTable:
 
     TORN_GEN_STALENESS = 5.0  # seconds before an empty gen file is reclaimable
 
-    def _reclaim_torn_gen(self, seq: int) -> bool:
+    def _reclaim_torn_gen(self, seq: int, branch: str = "main") -> bool:
         """True if gen-<seq> was a torn publish (EMPTY — possible only from
         a pre-link-protocol crash between create and write) older than the
         staleness bound, now unlinked so the caller may retry its CAS.
         A non-empty gen file is a real committed generation: never touched."""
-        path = self._gen_path(seq)
+        path = self._gen_path(seq, branch)
         try:
             st = os.stat(path)
             if st.st_size > 0 or (time.time() - st.st_mtime) < self.TORN_GEN_STALENESS:
@@ -1176,7 +1311,9 @@ class IceliteTable:
             except FileNotFoundError:
                 pass
 
-    def _commit(self, snap: Snapshot, expected_parent: str | None) -> Snapshot:
+    def _commit(
+        self, snap: Snapshot, expected_parent: str | None, branch: str = "main"
+    ) -> Snapshot:
         """Optimistic-concurrency commit.  What DECIDES the commit is a
         PUT-IF-ABSENT of the generation file `gen-<seq>` (atomic hard-link
         publish: link(2) fails EEXIST exactly like O_EXCL, but the visible
@@ -1199,10 +1336,10 @@ class IceliteTable:
         os.makedirs(self.meta_dir, exist_ok=True)  # lock="none" has no acquire-side mkdir
         fd = self._acquire_lock()
         try:
-            if self.current_snapshot_id() != expected_parent:
+            if self.current_snapshot_id(branch) != expected_parent:
                 raise CommitConflict(
                     f"expected parent {expected_parent!r}, found "
-                    f"{self.current_snapshot_id()!r}"
+                    f"{self.current_snapshot_id(branch)!r}"
                 )
             snap.committed_at = time.time()
             with open(self._snapshot_path(snap.snapshot_id), "w") as f:
@@ -1222,15 +1359,15 @@ class IceliteTable:
                 f.flush()
                 os.fsync(f.fileno())
             try:
-                os.link(gtmp, self._gen_path(snap.seq))
+                os.link(gtmp, self._gen_path(snap.seq, branch))
             except FileExistsError:
                 # lost the generation race — UNLESS the existing file is a
                 # legacy torn/empty publish (pre-link-era crash): those are
                 # unreadable garbage nobody references, so reclaim after a
                 # staleness bound instead of wedging the table forever.
-                if self._reclaim_torn_gen(snap.seq):
+                if self._reclaim_torn_gen(snap.seq, branch):
                     try:
-                        os.link(gtmp, self._gen_path(snap.seq))
+                        os.link(gtmp, self._gen_path(snap.seq, branch))
                     except (FileExistsError, OSError):
                         self._drop_commit_tmp(gtmp, snap)
                         raise CommitConflict(
@@ -1249,7 +1386,7 @@ class IceliteTable:
             tmp = os.path.join(self.meta_dir, f".current.{snap.snapshot_id}")
             with open(tmp, "w") as f:
                 f.write(f"{snap.snapshot_id} {snap.seq}")
-            os.replace(tmp, os.path.join(self.meta_dir, "current"))  # hint flip
+            os.replace(tmp, self._hint_path(branch))  # hint flip
             self._mcache = (snap.snapshot_id, snap.partitions)
             return snap
         finally:
@@ -1263,6 +1400,7 @@ class IceliteTable:
         lineage: dict | None,
         data_fields: list[dict] | None = None,
         partition_col: str | None = None,
+        branch: str = "main",
     ) -> Snapshot:
         """Shared optimistic-retry loop for append/overwrite: derive a child
         of the current head, CAS-commit, re-derive on a lost race.  Lost
@@ -1275,7 +1413,7 @@ class IceliteTable:
         retry loop against each freshly-read head, so a concurrent writer's
         add-column is honored rather than clobbered."""
         for attempt in range(50):
-            prev = self.snapshot()
+            prev = self.snapshot(branch=branch)
             schema = (
                 _evolve_schema(prev.schema if prev else None, data_fields, operation)
                 if data_fields is not None
@@ -1287,6 +1425,7 @@ class IceliteTable:
                         prev, operation, mode, parts, lineage, schema, partition_col
                     ),
                     expected_parent=prev.snapshot_id if prev else None,
+                    branch=branch,
                 )
             except CommitConflict:
                 time.sleep(min(0.002 * attempt, 0.05) + (os.getpid() % 16) * 0.0004)
@@ -1513,10 +1652,13 @@ class IceliteTable:
         partition_col: str | None = None,
         lineage: dict | None = None,
         cluster: str = "roundrobin",
+        branch: str = "main",
     ) -> Snapshot:
         fields = self._precheck_schema(df, partition_col, "append")
         new = self._write_partition_files(df, partition_col, cluster)
-        return self._commit_delta("append", "append", new, lineage, fields, partition_col)
+        return self._commit_delta(
+            "append", "append", new, lineage, fields, partition_col, branch
+        )
 
     def overwrite_partitions(
         self,
@@ -1524,12 +1666,15 @@ class IceliteTable:
         partition_col: str,
         lineage: dict | None = None,
         cluster: str = "roundrobin",
+        branch: str = "main",
     ) -> Snapshot:
         """Idempotent re-roll: replace exactly the partitions present in df
         (late-data handling — SURVEY.md §2 streaming notes)."""
         fields = self._precheck_schema(df, partition_col, "overwrite")
         new = self._write_partition_files(df, partition_col, cluster)
-        return self._commit_delta("overwrite", "replace", new, lineage, fields, partition_col)
+        return self._commit_delta(
+            "overwrite", "replace", new, lineage, fields, partition_col, branch
+        )
 
     def _write_delete_key_files(
         self, keys_df: DataFrame, key_cols: list[str], partition_col: str | None
@@ -2667,7 +2812,17 @@ class IceliteTable:
             snaps = self.snapshots()  # resolved, oldest first
             current = self.current_snapshot_id()
             cutoff = time.time() - older_than_s if older_than_s is not None else None
-            keep: set[str] = set(s.snapshot_id for s in snaps[-keep_last:]) if keep_last else set()
+            by_id = {s.snapshot_id: s for s in snaps}
+            # the retention suffix counts MAIN-chain snapshots only; branch
+            # commits interleave in `snaps` (they share seq numbers) and are
+            # pinned separately below
+            main_chain: set[str] = set()
+            sid = current
+            while sid is not None and sid in by_id:
+                main_chain.add(sid)
+                sid = by_id[sid].parent_id
+            mains = [s for s in snaps if s.snapshot_id in main_chain]
+            keep: set[str] = set(s.snapshot_id for s in mains[-keep_last:]) if keep_last else set()
             if current:
                 keep.add(current)
             if cutoff is not None:
@@ -2681,6 +2836,22 @@ class IceliteTable:
                 for t in self.tags().values()
                 if t["snapshot_id"] in present
             )
+            # BRANCHES pin their own commits (walk from each head until the
+            # MAIN chain or an already-kept snapshot): the island-checkpoint
+            # rule below keeps the oldest one resolvable if its fork-side
+            # ancestors expire, and fast_forward only ever walks down to
+            # the CURRENT main head, which is always kept.  drop_branch
+            # releases the pin.
+            for bhead in self.branches().values():
+                sid = bhead
+                while (
+                    sid is not None
+                    and sid in by_id
+                    and sid not in keep
+                    and sid not in main_chain
+                ):
+                    keep.add(sid)
+                    sid = by_id[sid].parent_id
             expired = [s for s in snaps if s.snapshot_id not in keep]
             if not expired:
                 return {"snapshots_removed": 0, "files_removed": 0}
@@ -2745,10 +2916,16 @@ class IceliteTable:
                     # every expired generation is below the hint's seq (the
                     # head always survives), and the reader probe only walks
                     # FORWARD from the hint — holes below it (incl. around
-                    # tagged islands) are never visited
-                    os.unlink(self._gen_path(s.seq))
-                except FileNotFoundError:
-                    pass  # pre-CAS table
+                    # tagged islands) are never visited.  Content check:
+                    # an expired snapshot from a DROPPED BRANCH shares seq
+                    # numbers with live main commits but never owns the
+                    # main-namespace gen file — unlink only our own.
+                    gp = self._gen_path(s.seq)
+                    with open(gp) as f:
+                        if f.read().strip() == s.snapshot_id:
+                            os.unlink(gp)
+                except (FileNotFoundError, OSError):
+                    pass  # pre-CAS table / branch-only generation
             # drop now-empty commit dirs so the data tree stays listable.
             # Spark/Hadoop leave _SUCCESS and .crc sidecars behind in every
             # commit dir — they are write-protocol artifacts, never
