@@ -1448,6 +1448,36 @@ class IceliteTable:
         loop against each freshly-read head."""
         fields = _data_fields(df, partition_col)
         prev = self.snapshot()
+        # partition-SPEC guard: mixing partition columns would merge
+        # incompatible key spaces into one manifest (read(partitions=) and
+        # partition-predicate routing would silently return wrong subsets).
+        # Partition evolution needs an explicit full rewrite
+        # (overwrite of every partition under the new column).
+        if prev is not None:
+            prev_unpart = (
+                prev.partition_col is None and set(prev.partitions) == {"__all__"}
+            )
+            mismatch = (
+                # different partition columns
+                (
+                    prev.partition_col is not None
+                    and partition_col is not None
+                    and partition_col != prev.partition_col
+                )
+                # provably-unpartitioned table vs a partitioned write
+                or (prev_unpart and partition_col is not None)
+                # partitioned table vs an unpartitioned write ("__all__"
+                # would land beside the real keys); legacy metadata with
+                # partition_col=None but real keys gets the same guard
+                or (not prev_unpart and prev.partitions and partition_col is None)
+            )
+            if mismatch:
+                raise ValueError(
+                    f"table is partitioned by {prev.partition_col!r}; {op} "
+                    f"with partition_col={partition_col!r} would mix "
+                    "partition key spaces — rewrite the table to change "
+                    "partitioning"
+                )
         _evolve_schema(prev.schema if prev else None, fields, op)
         return fields
 
