@@ -39,7 +39,8 @@ Iceberg's streaming-read contract; ``option("on_replace", "skip")``
 ignores replace commits (content-preserving for compaction), and a start
 offset older than the retained chain fails loudly (``expire_snapshots``
 GC'd it).  ``option("starting", "latest")`` begins at the current head
-instead of the table's first commit.
+instead of the table's first commit; ``option("branch", name)`` tails a
+branch head instead of main (works for the CDC stream too).
 
 Streaming CDC::
 
@@ -335,9 +336,14 @@ _CDC_COLS = (
 
 
 class IceliteStreamReader(DataSourceStreamReader):
+    """``option("branch", name)`` streams a BRANCH head instead of main —
+    offsets advance with the branch's own commits (write-audit pipelines
+    can tail their staging branch)."""
+
     def __init__(self, root: str, options: dict, schema: StructType):
         self._root = root
         self._schema = schema
+        self._branch = options.get("branch", "main")
         self._on_replace = options.get("on_replace", "error")
         self._starting = options.get("starting", "earliest")
         if self._starting not in ("earliest", "latest"):
@@ -345,7 +351,7 @@ class IceliteStreamReader(DataSourceStreamReader):
 
     def _head(self) -> dict:
         t = IceliteTable(self._root)
-        sid = t.current_snapshot_id()
+        sid = t.current_snapshot_id(self._branch)
         if sid is None:
             return {"seq": 0, "sid": None}
         s = t._load_raw(sid)

@@ -105,3 +105,33 @@ def test_branch_survives_expiry_of_main_prefix(spark, tmp_path):
     # and a stale branch can no longer fast-forward (main moved)
     with pytest.raises(CommitConflict):
         t.fast_forward("keepme")
+
+
+def test_stream_tails_a_branch(spark, tmp_path):
+    """readStream option("branch") follows the staging branch's commits;
+    main commits never enter the stream."""
+    from pyspark.sql import functions as F
+
+    from hdstats_spark.icelite_source import register
+
+    register(spark)
+    t = IceliteTable(str(tmp_path / "bs"))
+    t.append(_mk(spark, [(1, "base", "d1")]), partition_col="day")
+    t.create_branch("staging")
+    t.append(_mk(spark, [(2, "staged", "d1")]), partition_col="day", branch="staging")
+    t.append(_mk(spark, [(9, "mainonly", "d1")]), partition_col="day")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("icelite")
+        .option("branch", "staging")
+        .load(t.root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert sorted(r.v for r in got.collect()) == ["base", "staged"]
+    assert got.filter(F.col("v") == "mainonly").count() == 0
