@@ -2819,6 +2819,72 @@ class IceliteTable:
                 raise
         raise CommitConflict(f"delete_where lost {retries} planning rounds")
 
+    def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
+        """Delete data/delete-key files referenced by NO retained snapshot —
+        Iceberg's ``remove_orphan_files``.  Orphans come from crashed or
+        conflict-abandoned writes (a commit dir written but never
+        referenced; ``expire_snapshots`` only reaps files that once
+        belonged to a now-expired snapshot, so true never-committed
+        leftovers accumulate forever without this).
+
+        ``older_than_s`` is the safety bound (Iceberg's default is 3
+        days): a file younger than it is NEVER touched, because it may
+        belong to an in-flight commit whose manifest hasn't landed yet —
+        the commit protocol writes files first, references them last.
+        Runs under the commit lock so the referenced-set can't grow
+        mid-scan.  Returns {"files_removed": n, "dirs_removed": n}."""
+        import shutil
+
+        fd = self._acquire_lock()
+        try:
+            referenced: set[str] = set()
+            for s in self.snapshots():
+                for m in s.partitions.values():
+                    referenced.update(
+                        os.path.abspath(self._abs(f)) for f in m["files"]
+                    )
+                    referenced.update(
+                        os.path.abspath(self._abs(d["file"]))
+                        for d in m.get("deletes") or ()
+                    )
+            cutoff = time.time() - older_than_s
+            removed = 0
+            if os.path.isdir(self.data_dir):
+                for dirpath, _, files in os.walk(self.data_dir):
+                    for fn in files:
+                        # Spark write-protocol markers live beside LIVE
+                        # files without being referenced; husk-dir cleanup
+                        # below (and in expire_snapshots) owns them
+                        if fn == "_SUCCESS" or fn.endswith(".crc") or fn.startswith("._"):
+                            continue
+                        p = os.path.abspath(os.path.join(dirpath, fn))
+                        if p in referenced:
+                            continue
+                        try:
+                            if os.stat(p).st_mtime >= cutoff:
+                                continue
+                            os.unlink(p)
+                            removed += 1
+                        except OSError:
+                            continue
+            # drop commit dirs that are now empty (or marker-only husks)
+            dirs_removed = 0
+            if os.path.isdir(self.data_dir):
+                for entry in os.listdir(self.data_dir):
+                    d = os.path.join(self.data_dir, entry)
+                    if not os.path.isdir(d):
+                        continue
+                    leftover = [
+                        f for _, _, fs in os.walk(d) for f in fs
+                        if not (f == "_SUCCESS" or f.endswith(".crc") or f.startswith("._"))
+                    ]
+                    if not leftover:
+                        shutil.rmtree(d, ignore_errors=True)
+                        dirs_removed += 1
+            return {"files_removed": removed, "dirs_removed": dirs_removed}
+        finally:
+            self._release_lock(fd)
+
     def expire_snapshots(
         self, keep_last: int = 1, older_than_s: float | None = None
     ) -> dict:

@@ -379,3 +379,35 @@ def test_partition_spec_mismatch_guard(spark, tmp_path):
         u.append(_mk(spark, [(2, "b", "d1")]), partition_col="day")
     u.append(_mk(spark, [(2, "b", "d2")]))
     assert _vals(u, spark) == [(1, "a"), (2, "b")]
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Crash-abandoned writes (files never referenced by any snapshot) are
+    reclaimed past the safety bound; referenced and young files survive."""
+    import time as _time
+
+    t = IceliteTable(str(tmp_path / "orph"))
+    t.append(_mk(spark, [(1, "a", "d1")]), partition_col="day")
+    before = _vals(t, spark)
+    # simulate a crashed write: a commit dir with files no snapshot knows
+    dead = os.path.join(t.data_dir, "commit-deadbeef")
+    os.makedirs(dead)
+    orphan = os.path.join(dead, "part-zzz.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    young = os.path.join(dead, "part-young.parquet")
+    with open(young, "wb") as f:
+        f.write(b"in-flight maybe")
+    res = t.remove_orphan_files(older_than_s=3600)
+    assert res["files_removed"] == 1 and not os.path.exists(orphan)
+    assert os.path.exists(young)  # inside the safety bound
+    # age the young file out; its dir goes with it
+    os.utime(young, (old, old))
+    res = t.remove_orphan_files(older_than_s=3600)
+    assert res["files_removed"] == 1 and res["dirs_removed"] == 1
+    assert not os.path.exists(dead)
+    assert _vals(t, spark) == before  # referenced files untouched
+    # idempotent no-op afterwards
+    assert t.remove_orphan_files(older_than_s=0)["files_removed"] == 0
