@@ -2482,6 +2482,7 @@ class IceliteTable:
         cluster_col: str | list[str] | None = None,
         keep_last: int | None = None,
         older_than_s: float | None = None,
+        orphans_older_than_s: float | None = None,
     ) -> dict:
         """One idempotent MAINTENANCE pass — the policy wrapper a scheduler
         (cron, the streaming sink's ``compact_every`` hook, an Airflow
@@ -2494,7 +2495,9 @@ class IceliteTable:
            to ``target_files`` files, optionally ``cluster_col``-clustered
            (Z-order when a list is given);
         2. if ``keep_last``/``older_than_s`` is given, ``expire_snapshots``
-           afterwards (tagged snapshots stay pinned).
+           afterwards (tagged snapshots stay pinned);
+        3. if ``orphans_older_than_s`` is given, ``remove_orphan_files``
+           last (crash-abandoned writes past the safety bound).
 
         Conflict-skipped compactions (a concurrent writer touched the
         partition) are counted, not raised — the next pass retries, so
@@ -2527,7 +2530,17 @@ class IceliteTable:
                 keep_last=keep_last if keep_last is not None else 1,
                 older_than_s=older_than_s,
             )
-        return {"compacted": compacted, "skipped": skipped, "expired": expired}
+        orphans = (
+            self.remove_orphan_files(orphans_older_than_s)
+            if orphans_older_than_s is not None
+            else None
+        )
+        return {
+            "compacted": compacted,
+            "skipped": skipped,
+            "expired": expired,
+            "orphans": orphans,
+        }
 
     def compact_partition(
         self,
