@@ -887,3 +887,52 @@ def test_composite_reroll_prunes_to_touched_bucket_files(spark, transcripts, tmp
     )
     pd.testing.assert_frame_equal(got, expect[got.columns], check_dtype=False)
     tier.unpersist()
+
+
+def test_streaming_repetition_stats_equals_batch(spark, tmp_path):
+    """repetition_stats(method='maponly') is stateless per row, so it drops
+    into readStream unchanged (the docstring's claim) — streamed metrics
+    must equal the batch operator row-for-row across micro-batches."""
+    import glob
+    import os
+    import time
+
+    from hdstats_spark.operators.textstats import repetition_stats
+
+    src = str(tmp_path / "docs_src")
+    rows_a = [(1, "a b a b a b c d e f g h i j"), (2, "one two three four five six")]
+    rows_b = [(3, "x x x x x x x x"), (4, "the quick brown fox jumps over dogs")]
+    spark.createDataFrame(rows_a, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    base = time.time()
+    for p in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(p, (base - 100, base - 100))
+    spark.createDataFrame(rows_b, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = repetition_stats(stream)  # maponly default: no agg, no watermark
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rep_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rep_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    batch = repetition_stats(spark.read.parquet(src))
+    got = sorted(tuple(r) for r in spark.table("rep_stream").collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) == 4
