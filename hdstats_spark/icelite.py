@@ -1447,12 +1447,23 @@ class IceliteTable:
         write; the authoritative merge re-runs inside _commit_delta's retry
         loop against each freshly-read head."""
         fields = _data_fields(df, partition_col)
+        self._check_partition_spec(partition_col, op)
         prev = self.snapshot()
-        # partition-SPEC guard: mixing partition columns would merge
-        # incompatible key spaces into one manifest (read(partitions=) and
-        # partition-predicate routing would silently return wrong subsets).
-        # Partition evolution needs an explicit full rewrite
-        # (overwrite of every partition under the new column).
+        _evolve_schema(prev.schema if prev else None, fields, op)
+        return fields
+
+    def _check_partition_spec(self, partition_col: str | None, op: str) -> None:
+        """Partition-SPEC guard: mixing partition columns would merge
+        incompatible key spaces into one manifest (read(partitions=) and
+        partition-predicate routing would silently return wrong subsets).
+        Partition evolution needs an explicit full rewrite (overwrite of
+        every partition under the new column).  Factored out of
+        _precheck_schema so the Spark data-source writer faces — which
+        hold a StructType, not a DataFrame — run the same guard before
+        _commit_delta (r6 ADVICE: a df.write.format("icelite") without
+        partition_col into a day-partitioned table used to commit
+        '__all__' beside real keys)."""
+        prev = self.snapshot()
         if prev is not None:
             prev_unpart = (
                 prev.partition_col is None and set(prev.partitions) == {"__all__"}
@@ -1478,8 +1489,6 @@ class IceliteTable:
                     "partition key spaces — rewrite the table to change "
                     "partitioning"
                 )
-        _evolve_schema(prev.schema if prev else None, fields, op)
-        return fields
 
     def _write_partition_files(
         self, df: DataFrame, partition_col: str | None, cluster: str = "roundrobin"
@@ -2507,7 +2516,9 @@ class IceliteTable:
         ``{"compacted": [...], "skipped": [...], "expired": {...}|None}``."""
         snap = self.snapshot()
         if snap is None:
-            return {"compacted": [], "skipped": [], "expired": None}
+            # same key set as every other return path (callers index
+            # result["orphans"] unconditionally)
+            return {"compacted": [], "skipped": [], "expired": None, "orphans": None}
         pcol = partition_col or snap.partition_col
         if pcol is None:
             raise ValueError("maintain needs partition_col (unversioned table)")
@@ -2832,7 +2843,7 @@ class IceliteTable:
                 raise
         raise CommitConflict(f"delete_where lost {retries} planning rounds")
 
-    def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
+    def remove_orphan_files(self, older_than_s: float = 86400.0) -> dict:
         """Delete data/delete-key files referenced by NO retained snapshot —
         Iceberg's ``remove_orphan_files``.  Orphans come from crashed or
         conflict-abandoned writes (a commit dir written but never
@@ -2841,9 +2852,12 @@ class IceliteTable:
         leftovers accumulate forever without this).
 
         ``older_than_s`` is the safety bound (Iceberg's default is 3
-        days): a file younger than it is NEVER touched, because it may
-        belong to an in-flight commit whose manifest hasn't landed yet —
-        the commit protocol writes files first, references them last.
+        days; ours is 24 h): a file younger than it is NEVER touched,
+        because it may belong to an in-flight commit whose manifest hasn't
+        landed yet — the commit protocol writes files first, references
+        them last, so the bound MUST exceed the longest possible
+        write-to-commit window (a multi-hour Spark write would have been
+        reaped under the old 1 h default).
         Runs under the commit lock so the referenced-set can't grow
         mid-scan.  Returns {"files_removed": n, "dirs_removed": n}."""
         import shutil

@@ -95,8 +95,43 @@ __all__ = ["IceliteDataSource", "register"]
 
 
 def register(spark) -> None:
-    """Register the ``icelite`` format on this session (safe to repeat)."""
-    spark.dataSource.register(IceliteDataSource)
+    """Register the ``icelite`` format on this session (safe to repeat).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled``: PySpark 4
+    hard-fails ANY Python data source whose reader implements
+    ``pushFilters()`` when that conf is false, so a vanilla session that
+    only calls ``register()`` would get ``[DATA_SOURCE_PUSHDOWN_DISABLED]``
+    on first read.  The conf is runtime-settable and pushdown is purely an
+    optimization (the reader re-applies every filter), so flipping it here
+    makes every face self-sufficient in any session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(IceliteDataSource)
+        return
+    except Exception as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
+    # The JVM's existence check consults the thread's ACTIVE session, which
+    # can be a sibling (e.g. the parent of a newSession()) that already
+    # registered the name while THIS session's registry lacks it.  Retry
+    # with this session active; a repeat ALREADY_EXISTS then genuinely
+    # means "this session already has it" and is safe to ignore.
+    jsess = getattr(spark, "_jsparkSession", None)
+    jvm = getattr(spark, "_jvm", None)
+    if jsess is None or jvm is None:
+        return
+    cls = jvm.org.apache.spark.sql.classic.SparkSession
+    prev = cls.getActiveSession()
+    cls.setActiveSession(jsess)
+    try:
+        try:
+            spark.dataSource.register(IceliteDataSource)
+        except Exception as e:
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+                raise
+    finally:
+        if prev is not None and prev.isDefined():
+            cls.setActiveSession(prev.get())
 
 
 @dataclass
@@ -598,14 +633,27 @@ class IceliteArrowWriter(DataSourceArrowWriter):
             self.abort(messages)
             return
         t = IceliteTable(self._root)
-        t._commit_delta(
-            "overwrite" if self._overwrite else "append",
-            "replace" if self._overwrite else "append",
-            self._build_manifest(t, by_value),
-            {"writer": "spark-datasource"},
-            self._data_fields(),
-            self._pcol,
-        )
+        op = "overwrite" if self._overwrite else "append"
+        try:
+            # same partition-spec guard native append/overwrite run in
+            # _precheck_schema: without it an unpartitioned write into a
+            # partitioned table commits '__all__' beside real keys and
+            # silently corrupts partition pruning.  Schema compatibility
+            # is enforced by _evolve_schema inside _commit_delta's retry
+            # loop.  On ANY pre-commit failure the just-written files are
+            # orphans — unlink them before re-raising.
+            t._check_partition_spec(self._pcol, op)
+            t._commit_delta(
+                op,
+                "replace" if self._overwrite else "append",
+                self._build_manifest(t, by_value),
+                {"writer": "spark-datasource"},
+                self._data_fields(),
+                self._pcol,
+            )
+        except Exception:
+            self.abort(messages)
+            raise
 
     def abort(self, messages):
         for msg in messages:
@@ -626,14 +674,24 @@ class IceliteStreamArrowWriter(IceliteArrowWriter, DataSourceStreamArrowWriter):
 
     def __init__(self, root: str, options: dict, schema: StructType):
         super().__init__(root, options, schema, overwrite=False)
+        # scope the exactly-once dedup to THIS query's checkpoint: batch
+        # ids restart from 0 with a fresh checkpoint, and two concurrent
+        # queries writing one table interleave ids — comparing only the
+        # global latest micro_batch would silently drop their data
+        # (Iceberg scopes the same dedup by queryId; the checkpoint
+        # location is the stable identity Spark hands a Python writer)
+        self._scope = options.get("checkpointLocation") or None
 
     def _already_committed(self, t: IceliteTable, batch_id: int) -> bool:
         sid = t.current_snapshot_id()
         while sid is not None:
             s = t._load_raw(sid)
-            mb = (s.lineage or {}).get("micro_batch")
-            if mb is not None and (s.lineage or {}).get("writer") == "spark-datasource":
-                return int(mb) >= batch_id
+            lin = s.lineage or {}
+            mb = lin.get("micro_batch")
+            if mb is not None and lin.get("writer") == "spark-datasource":
+                if lin.get("query_scope", None) == self._scope:
+                    return int(mb) >= batch_id
+                # another query's commit: keep walking for our own scope
             sid = s.parent_id
         return False
 
@@ -643,14 +701,22 @@ class IceliteStreamArrowWriter(IceliteArrowWriter, DataSourceStreamArrowWriter):
         if not by_value or self._already_committed(t, int(batchId)):
             self.abort(messages, batchId)  # replayed/empty: files are orphans
             return
-        t._commit_delta(
-            "append",
-            "append",
-            self._build_manifest(t, by_value),
-            {"writer": "spark-datasource", "micro_batch": int(batchId)},
-            self._data_fields(),
-            self._pcol,
-        )
+        lineage = {"writer": "spark-datasource", "micro_batch": int(batchId)}
+        if self._scope is not None:
+            lineage["query_scope"] = self._scope
+        try:
+            t._check_partition_spec(self._pcol, "append")
+            t._commit_delta(
+                "append",
+                "append",
+                self._build_manifest(t, by_value),
+                lineage,
+                self._data_fields(),
+                self._pcol,
+            )
+        except Exception:
+            self.abort(messages, batchId)
+            raise
 
     def abort(self, messages, batchId: int):
         IceliteArrowWriter.abort(self, messages)

@@ -228,7 +228,14 @@ def _repetition_maponly(
     mapInPandas (each document is one row — embarrassingly parallel).
     Splitting mirrors ``F.split(F.trim(col), r'\\s+')`` exactly (an empty
     text yields one empty token, size 1) so both methods agree
-    bit-for-bit."""
+    bit-for-bit.  Mirroring is byte-precise: Spark's ``trim`` removes only
+    the SPACE character (U+0020) from the ends and Java regex ``\\s`` is
+    the ASCII class ``[ \\t\\n\\x0B\\f\\r]``, while Python's bare
+    ``str.strip()`` / ``\\s`` are Unicode-aware (they also strip NBSP,
+    ideographic space, …) — so strip literal spaces only and compile the
+    splitter with ``re.ASCII``, else a document containing tabs at the
+    ends or U+00A0 silently diverges from the shuffle plan and its SQL
+    oracle."""
     import re
 
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
@@ -240,7 +247,7 @@ def _repetition_maponly(
     fields.append(StructField("keep", IntegerType(), True))
     schema = StructType(fields)
     th = {n: thresholds[n] for n in sorted(thresholds) if n in ns}
-    ws_re = re.compile(r"\s+")
+    ws_re = re.compile(r"\s+", re.ASCII)
 
     def gen(batches):
         from collections import Counter
@@ -250,7 +257,7 @@ def _repetition_maponly(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = ws_re.split(("" if text is None else text).strip())
+                words = ws_re.split(("" if text is None else text).strip(" "))
                 rec = [did, len(words)]
                 tops = {}
                 for n in ns:

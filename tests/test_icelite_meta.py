@@ -121,7 +121,16 @@ def test_expire_after_rollback_gcs_rolled_back_files(spark, tmp_path):
     s2 = t.append(_mk(spark, [(2, "b", "d2")]), partition_col="day")
     t.rollback_to(s1.snapshot_id)
     want = _vals(t, spark)
-    gone = [f for m in s2.partitions.values() for f in m["files"] if "d2" in f]
+    # filter by PARTITION KEY, not a substring of the path: part-file names
+    # carry a random uuid that can itself contain "d2" (seen in the wild:
+    # ".../day=d1/part-00004-38693607-77d2-..."), which made this test flaky
+    # by over-counting `gone` while the GC itself was correct
+    gone = [
+        f
+        for part, m in s2.partitions.items()
+        if part == "d2"
+        for f in m["files"]
+    ]
     res = t.expire_snapshots(keep_last=1)
     assert res["snapshots_removed"] == 2  # s1 and s2; the rollback head stays
     assert res["files_removed"] == len(gone) and gone

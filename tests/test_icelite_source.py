@@ -388,3 +388,25 @@ def test_stream_writer_exactly_once(reg, tmp_path):
     drain()
     dst = IceliteTable(dst_root)
     assert dst.rows() == 150 and dst.snapshot().lineage["micro_batch"] == 1
+
+
+def test_register_self_sufficient_on_pushdown_disabled_session(spark, tmp_path):
+    """A consumer session that never enabled
+    spark.sql.python.filterPushdown.enabled must still be able to read
+    through the icelite format after register() alone: PySpark 4 hard-fails
+    any reader implementing pushFilters() when the conf is false
+    ([DATA_SOURCE_PUSHDOWN_DISABLED] — the r6 gate regression), so
+    register() now flips the runtime conf itself."""
+    t = IceliteTable(str(tmp_path / "vanilla"))
+    t.append(_batch(spark, 0, 30), partition_col="pt")
+    fresh = spark.newSession()
+    fresh.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    register(fresh)
+    assert fresh.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    got = (
+        fresh.read.format("icelite")
+        .option("path", t.root)
+        .load()
+        .where(F.col("event_id") >= 10)
+    )
+    assert _rows(got) == _rows(t.read(spark).where(F.col("event_id") >= 10))

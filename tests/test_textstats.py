@@ -104,7 +104,20 @@ def test_repetition_maponly_equals_shuffle(spark):
         "doc_id", "text"
     )
     edge = spark.createDataFrame(
-        [(9001, ""), (9002, "solo"), (9003, "a a a"), (9004, "  padded   text  ")],
+        [
+            (9001, ""),
+            (9002, "solo"),
+            (9003, "a a a"),
+            (9004, "  padded   text  "),
+            # non-space whitespace: Spark trim strips only U+0020 and Java
+            # \s is ASCII-only, so the Python side must use strip(' ') +
+            # re.ASCII to agree (the r6 ADVICE divergence)
+            (9005, "\ta b\t"),
+            (9006, "x y x y x y"),
+            (9007, "a\tb a\tb \n c c"),
+            (9008, " \t mixed ws mixed ws \t "),
+            (9010, "nb\u00a0sp nb\u00a0sp nb\u00a0sp\u00a0"),
+        ],
         "doc_id long, text string",
     )
     docs = docs.unionByName(edge)
