@@ -533,7 +533,7 @@ def dedup_embedding_lsh(
     (tests/test_dedup_simsearch.py).  Pass ``n_vecs`` when the corpus size
     is already known (e.g. from parquet footers) — otherwise auto-k pays a
     full corpus ``count()`` job."""
-    from .simsearch import lsh_signatures
+    from .simsearch import arrow_cosine_rerank, lsh_signatures
 
     if k is None:
         if n_vecs is None:
@@ -548,34 +548,33 @@ def dedup_embedding_lsh(
     sig = _swap_cache(
         "emb_lsh_sig", lsh_signatures(emb_df, dim, k, tables, seed, id_col, emb_col)
     )
-    a = sig.select(F.col(id_col).alias("id_a"), "table", "sig")
+    # round-robin the PROBE side of the self-join: the sig table inherits
+    # the embedding scan's partitioning (often 1-2 file splits locally), and
+    # with the stream-side join build broadcast the whole
+    # self-join → attach → re-rank chain would otherwise fuse into those
+    # few tasks.  Repartitioning N sig rows costs N tiny rows; it buys
+    # full-cluster parallelism for the quadratic-in-bucket candidate work
+    # (the 2M-pair exact mirror ran on 2 tasks without it).
+    par = emb_df.sparkSession.sparkContext.defaultParallelism
+    a = sig.repartition(par).select(F.col(id_col).alias("id_a"), "table", "sig")
     b = sig.select(F.col(id_col).alias("id_b"), "table", "sig")
     cands = (
         a.join(b, ["table", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if tables > 1:
+        # dedup across tables; with ONE table each pair occurs at most
+        # once, so the distinct (a full pair-table exchange over every
+        # candidate row) is provably a no-op and is skipped
+        cands = cands.distinct()
     ea = emb_df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("e_a"))
     eb = emb_df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("e_b"))
     paired = cands.join(ea, "id_a").join(eb, "id_b")
-
-    def rerank(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.stack(pdf["e_a"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["e_b"].to_numpy()).astype(np.float64)
-            sim = np.round(
-                (A * B).sum(axis=1)
-                / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))),
-                6,
-            )
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos_sim": sim}
-            )
-
-    sims = paired.mapInPandas(rerank, "id_a long, id_b long, cos_sim double")
+    # Arrow-native exact cosine re-rank (simsearch.arrow_cosine_rerank):
+    # bit-identical arithmetic to the old mapInPandas GEMM, minus the
+    # per-row object churn and with only (ids, e_a, e_b) crossing to Python
+    sims = arrow_cosine_rerank(paired, "e_a", "e_b", "id_a", "id_b")
     return sims.filter(F.col("cos_sim") >= threshold)
 
 

@@ -32,6 +32,66 @@ def _planes(dim: int, k: int, tables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((tables, dim, k))
 
 
+def _list_matrix(col, n_rows: int) -> np.ndarray:
+    """Arrow ListArray of equal-length float lists → (n_rows, dim) float64
+    matrix, zero object churn: one flatten (honours slice offsets) + one
+    reshape over the contiguous values buffer.  Guards against ragged
+    input (a silent mis-reshape would shear every row after the first)."""
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if n_rows and flat.size % n_rows:
+        raise ValueError("ragged embedding column: lists are not equal-length")
+    return flat.astype(np.float64).reshape(n_rows, -1)
+
+
+def arrow_cosine_rerank(
+    paired: DataFrame, a_col: str, b_col: str, out_a: str, out_b: str
+) -> DataFrame:
+    """Exact rounded-cosine re-rank of candidate pairs, Arrow-native.
+
+    The r3-r6 version was mapInPandas + ``np.stack`` over the per-row
+    ndarray objects pandas materializes — for the all-pairs mirrors that
+    meant millions of small-object allocations per bench run, ~4× the cost
+    of the math itself (guide §4.2: hand whole batches to vectorized
+    native code).  mapInArrow borrows each list column's contiguous values
+    buffer instead (one flatten + reshape per column per batch).
+
+    The arithmetic is kept BIT-IDENTICAL to the old path — float64
+    elementwise products, ``.sum(axis=1)`` in NumPy's summation order,
+    ``np.round(·, 6)`` — because the hash-gated oracle rows
+    (embedding_dups_lsh_exact, knn_lsh_exact, knn_ivf_exact) compare these
+    rounded doubles against DuckDB at ANY scale factor; a JVM-expression
+    re-rank (sequential sum) was measured bit-equal at sf0.01/sf0.1 but
+    was also 2× slower than this (interpreted higher-order functions) —
+    rejected on both grounds."""
+
+    def rerank(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            A = _list_matrix(rb.column(names.index(a_col)), n)
+            B = _list_matrix(rb.column(names.index(b_col)), n)
+            sim = np.round(
+                (A * B).sum(axis=1)
+                / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))),
+                6,
+            )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    out_a: rb.column(names.index(out_a)),
+                    out_b: rb.column(names.index(out_b)),
+                    "cos_sim": pa.array(sim),
+                }
+            )
+
+    return paired.select(out_a, out_b, a_col, b_col).mapInArrow(
+        rerank, f"{out_a} long, {out_b} long, cos_sim double"
+    )
+
+
 def lsh_signatures(
     emb_df: DataFrame, dim: int, k: int = 16, tables: int = 8, seed: int = 11,
     id_col: str = "vec_id", emb_col: str = "embedding",
@@ -172,24 +232,7 @@ def knn_ivf(
         "list_id",
     )
 
-    def rerank(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
-            Cc = np.stack(pdf["c_emb"].to_numpy()).astype(np.float64)
-            sim = (Q * Cc).sum(axis=1) / (
-                np.sqrt((Q * Q).sum(axis=1)) * np.sqrt((Cc * Cc).sum(axis=1))
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cos_sim": np.round(sim, 6),
-                }
-            )
-
-    sims = paired.mapInPandas(rerank, "query_id long, neighbor_id long, cos_sim double")
+    sims = arrow_cosine_rerank(paired, "q_emb", "c_emb", "query_id", "neighbor_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= topk)
 
@@ -207,8 +250,12 @@ def knn_lsh(
         qs.select(F.col(id_col).alias("query_id"), "table", "sig")
         .join(cs.select(F.col(id_col).alias("neighbor_id"), "table", "sig"), ["table", "sig"])
         .select("query_id", "neighbor_id")
-        .distinct()
     )
+    if tables > 1:
+        # dedup across tables; with ONE table each pair occurs at most once,
+        # so the distinct (a full pair-table exchange) is provably a no-op —
+        # skipping it removes the only shuffle of the candidate stream
+        cands = cands.distinct()
     qe = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
     )
@@ -217,24 +264,7 @@ def knn_lsh(
     )
     paired = cands.join(F.broadcast(qe), "query_id").join(ce, "neighbor_id")
 
-    def rerank(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
-            C = np.stack(pdf["c_emb"].to_numpy()).astype(np.float64)
-            sim = (Q * C).sum(axis=1) / (
-                np.sqrt((Q * Q).sum(axis=1)) * np.sqrt((C * C).sum(axis=1))
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cos_sim": np.round(sim, 6),
-                }
-            )
-
-    sims = paired.mapInPandas(rerank, "query_id long, neighbor_id long, cos_sim double")
+    sims = arrow_cosine_rerank(paired, "q_emb", "c_emb", "query_id", "neighbor_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w))
