@@ -2076,6 +2076,12 @@ class IceliteTable:
         from pyspark.sql import functions as F
 
         frames = []
+        # memoize key frames per (cols, files): an unscoped delete attaches
+        # ONE key file to every partition, so sibling classes would each
+        # pay a ~30 ms driver-side DataFrameReader.parquet() for the same
+        # bytes (the broadcast itself is deduped at runtime by ReuseExchange
+        # once the plans are identical, which this also guarantees)
+        kdf_memo: dict[tuple, DataFrame] = {}
         for key, cls_files in classes.items():
             dfc = self._reader(spark, snap).parquet(*cls_files)
             if key:
@@ -2086,7 +2092,11 @@ class IceliteTable:
                         p if os.path.isabs(p) else os.path.join(self.root, p)
                     )
                 for cols, paths in by_cols.items():
-                    keys_df = spark.read.parquet(*paths).select(*cols).distinct()
+                    ck = (cols, tuple(sorted(paths)))
+                    keys_df = kdf_memo.get(ck)
+                    if keys_df is None:
+                        keys_df = spark.read.parquet(*paths).select(*cols).distinct()
+                        kdf_memo[ck] = keys_df
                     dfc = dfc.join(F.broadcast(keys_df), on=list(cols), how="left_anti")
             frames.append(dfc)
         return reduce(DataFrame.unionByName, frames)
@@ -2402,14 +2412,23 @@ class IceliteTable:
 
         chain = self._commits_between(start_seq, end)
 
-        def stamp(df: DataFrame, ctype: str, value: str, snap: Snapshot) -> DataFrame:
-            return (
-                self._conform(df, end)
-                .withColumn("_change_type", F.lit(ctype))
-                .withColumn("_partition", F.lit(value))
-                .withColumn("_commit_seq", F.lit(int(snap.seq)).cast("long"))
-                .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id))
-                .withColumn("_commit_timestamp", F.lit(float(snap.committed_at)))
+        def stamp(
+            df: DataFrame, ctype: str, value: str | None, snap: Snapshot
+        ) -> DataFrame:
+            # value=None: df is a multi-partition frame already carrying a
+            # correct per-row _partition column (the per-commit fused
+            # frames below); a single select keeps the output column order
+            # identical to the historical per-partition stamping
+            if value is not None:
+                df = self._conform(df, end).withColumn("_partition", F.lit(value))
+            data_cols = [c for c in df.columns if c != "_partition"]
+            return df.select(
+                *data_cols,
+                F.lit(ctype).alias("_change_type"),
+                F.col("_partition"),
+                F.lit(int(snap.seq)).cast("long").alias("_commit_seq"),
+                F.lit(snap.snapshot_id).alias("_commit_snapshot_id"),
+                F.lit(float(snap.committed_at)).alias("_commit_timestamp"),
             )
 
         frames: list[DataFrame] = []
@@ -2422,30 +2441,82 @@ class IceliteTable:
             )
             pparts = parent.partitions if parent is not None else {}
             if d["mode"] == "append":
+                # ONE insert frame and ONE delete frame per (commit,
+                # key-column set) instead of one PER PARTITION: the old
+                # shape built 3 frames per touched partition — a 15-subtree
+                # union with ~10 independent broadcast-build jobs for the
+                # cdc bench commit pair.  Inserts union with a per-branch
+                # _partition literal; delete keys are tagged with the
+                # partition whose manifest entry references them and
+                # semi-joined ON (keys + _partition), which is row-for-row
+                # the same masking as the per-partition joins (a key only
+                # ever matches rows of the partition it was attached to).
+                ins_frames: list[DataFrame] = []
+                del_groups: dict[tuple, list] = {}
                 for value, m in d["parts"].items():
                     if m["files"]:
                         paths = [self._abs(f) for f in m["files"]]
-                        frames.append(
-                            stamp(self._reader(spark, end).parquet(*paths),
-                                  "insert", value, snap)
+                        ins_frames.append(
+                            self._conform(
+                                self._reader(spark, end).parquet(*paths), end
+                            ).withColumn("_partition", F.lit(value))
                         )
                     for de in m.get("deletes") or ():
                         if value not in pparts or not pparts[value]["files"]:
                             continue  # nothing pre-existing to mask
-                        keys = spark.read.parquet(self._abs(de["file"])) \
-                            .select(*de["keys"]).distinct()
-                        live = self._conform(
-                            self.read(spark, snapshot_id=parent.snapshot_id,
-                                      partitions=[value]),
-                            end,
+                        del_groups.setdefault(tuple(de["keys"]), []).append(
+                            (value, de["file"])
                         )
-                        frames.append(
-                            stamp(
-                                live.join(F.broadcast(keys), on=list(de["keys"]),
-                                          how="left_semi"),
-                                "delete", value, snap,
+                if ins_frames:
+                    frames.append(
+                        stamp(
+                            reduce(DataFrame.unionByName, ins_frames),
+                            "insert", None, snap,
+                        )
+                    )
+                for keycols, entries in del_groups.items():
+                    # one reader per UNIQUE key file: an unscoped
+                    # delete_by_keys attaches the SAME file to every
+                    # partition, and each DataFrameReader.parquet() call
+                    # costs ~30 ms of driver-side listing/resolution
+                    kdfs: dict[str, DataFrame] = {}
+                    for _, f in entries:
+                        if f not in kdfs:
+                            kdfs[f] = (
+                                spark.read.parquet(self._abs(f))
+                                .select(*keycols).distinct()
                             )
+                    keys = reduce(
+                        DataFrame.unionByName,
+                        [
+                            kdfs[f].withColumn("_partition", F.lit(v))
+                            for v, f in entries
+                        ],
+                    )
+                    live = reduce(
+                        DataFrame.unionByName,
+                        [
+                            self._conform(
+                                self.read(
+                                    spark,
+                                    snapshot_id=parent.snapshot_id,
+                                    partitions=[v],
+                                ),
+                                end,
+                            ).withColumn("_partition", F.lit(v))
+                            for v, _ in entries
+                        ],
+                    )
+                    frames.append(
+                        stamp(
+                            live.join(
+                                F.broadcast(keys),
+                                on=list(keycols) + ["_partition"],
+                                how="left_semi",
+                            ),
+                            "delete", None, snap,
                         )
+                    )
                 continue
             if snap.operation == "compact":
                 continue  # content-preserving replace: no logical change
