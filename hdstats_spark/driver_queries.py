@@ -681,7 +681,9 @@ def _sql_quality_expr():
 
 def q_doc_stats(spark, sf_dir):
     """Token counting + quality scoring (training-data text analysis)."""
-    d = _t(spark, sf_dir, "documents")
+    from .operators.partitioning import ensure_min_partitions
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     _, n_tok, n_stop, quality = _quality_cols()
     return d.select(
         "doc_id",
@@ -881,7 +883,9 @@ def q_corpus_filter(spark, sf_dir, min_tokens=20, max_tokens=10_000, min_quality
     pass — the length/quality exprs are pure JVM columns and the
     canonical-copy test is a window min over md5(text), so no joins, no
     shuffles beyond the one hash partition."""
-    d = _t(spark, sf_dir, "documents")
+    from .operators.partitioning import ensure_min_partitions
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     _, n_tok, _, quality = _quality_cols()
     w = Window.partitionBy(F.md5("text"))
     is_canon = (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
@@ -962,7 +966,11 @@ _LANG_MARKERS = {
 def q_lang_id(spark, sf_dir):
     """Marker-occurrence language-ID heuristic: one word-boundary regex scan
     per language (JVM-side), argmax with alphabetical tie-break."""
-    d = _t(spark, sf_dir, "documents")
+    from .operators.partitioning import ensure_min_partitions
+
+    # the per-language regex battery runs in the scan stage — widen a
+    # narrow (single-split) input or the whole corpus scans on one core
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     scores = [
         F.struct(
             F.regexp_count(F.lower("text"), F.lit(r"\b(" + "|".join(ms) + r")\b")).alias("s"),

@@ -98,7 +98,13 @@ def doc_shingles(docs: DataFrame, n: int = 5, id_col="doc_id", text_col="text",
                  max_doc_freq: int | None = None) -> DataFrame:
     """(doc_id, shingle) long format; optionally drop shingles that occur in
     more than max_doc_freq documents (hot-key guard for the self-join)."""
-    s = docs.select(id_col, F.explode(shingles_col(n, text_col)).alias("shingle"))
+    from .partitioning import ensure_min_partitions
+
+    # the zip_with shingle build + explode run inside the scan stage — widen
+    # a narrow (single-split) input first or they serialize on one core
+    s = ensure_min_partitions(docs).select(
+        id_col, F.explode(shingles_col(n, text_col)).alias("shingle")
+    )
     if max_doc_freq is not None:
         hot = (
             s.groupBy("shingle").count().filter(F.col("count") > max_doc_freq)
@@ -165,10 +171,16 @@ def decontaminate(
     shuffle the per-doc hit count.  Returns every doc with
     (n_dirty_ngrams, contaminated); n_dirty_ngrams counts DISTINCT
     overlapping n-grams (shingles_col de-dups per doc)."""
+    from .partitioning import ensure_min_partitions
+
     dirty = benchmark.select(
         F.explode(shingles_col(n, text_col)).alias("shingle")
     ).distinct()
-    s = docs.select(id_col, F.explode(shingles_col(n, text_col)).alias("shingle"))
+    # corpus-side explode + probe are map-only and run in the scan stage —
+    # widen a narrow input or the whole decontamination pass is one task
+    s = ensure_min_partitions(docs).select(
+        id_col, F.explode(shingles_col(n, text_col)).alias("shingle")
+    )
     if method == "bloom":
         # memory-bounded variant for LARGE suite unions (a 13-gram sweep
         # over a PaLM-style benchmark union reaches 10^8 shingles — far
@@ -548,15 +560,16 @@ def dedup_embedding_lsh(
     sig = _swap_cache(
         "emb_lsh_sig", lsh_signatures(emb_df, dim, k, tables, seed, id_col, emb_col)
     )
-    # round-robin the PROBE side of the self-join: the sig table inherits
-    # the embedding scan's partitioning (often 1-2 file splits locally), and
-    # with the stream-side join build broadcast the whole
-    # self-join → attach → re-rank chain would otherwise fuse into those
-    # few tasks.  Repartitioning N sig rows costs N tiny rows; it buys
-    # full-cluster parallelism for the quadratic-in-bucket candidate work
-    # (the 2M-pair exact mirror ran on 2 tasks without it).
-    par = emb_df.sparkSession.sparkContext.defaultParallelism
-    a = sig.repartition(par).select(F.col(id_col).alias("id_a"), "table", "sig")
+    # the PROBE side of the self-join seeds the parallelism of the whole
+    # self-join → attach → re-rank chain (the build side is broadcast, so
+    # no exchange widens it later): lsh_signatures already guarantees the
+    # sig table is at least default-parallelism wide, and ensure_min_
+    # partitions here is the cheap insurance if a caller hands in its own
+    # narrow signature table (the 2M-pair exact mirror ran on 2 tasks
+    # before this).
+    from .partitioning import ensure_min_partitions
+
+    a = ensure_min_partitions(sig).select(F.col(id_col).alias("id_a"), "table", "sig")
     b = sig.select(F.col(id_col).alias("id_b"), "table", "sig")
     cands = (
         a.join(b, ["table", "sig"])
@@ -602,6 +615,8 @@ def simhash_fingerprints(
     ``keep_cols`` are carried through unchanged (e.g. the event-time column
     for the streaming near-dup operator — mapInPandas is stateless, so the
     same kernel serves batch and stream)."""
+    from .partitioning import ensure_min_partitions
+
     keep = list(keep_cols or [])
     n_bits = simhash_bits(hash_mode)
     if hash_mode == "xxhash64":
@@ -612,7 +627,9 @@ def simhash_fingerprints(
             f"aggregate(sequence(1, length(t)), 0L, "
             f"(acc, i) -> (acc * 257 + ascii(substring(t, i, 1))) % {_MERSENNE}))"
         )
-    hashed = docs.select(id_col, *keep, th.alias("th"))
+    # token hashing (interpreted HOFs for poly31) + the popcount kernel run
+    # in the scan stage — widen a narrow input first
+    hashed = ensure_min_partitions(docs).select(id_col, *keep, th.alias("th"))
 
     def gen(batches):
         shifts = np.arange(n_bits, dtype=np.uint64)

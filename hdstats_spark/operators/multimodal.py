@@ -95,6 +95,10 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     Output is one DOUBLE column per histogram bin (f_0..f_{dim-1}, rounded to
     6 dp) — scalar columns, not array<float>, so downstream hash/canonical
     comparators (and plain SQL consumers) handle the rows directly."""
+    from .partitioning import ensure_min_partitions
+
+    # decode + histogram run in the scan stage — widen a narrow input
+    assets = ensure_min_partitions(assets)
 
     def gen(batches):
         for pdf in batches:

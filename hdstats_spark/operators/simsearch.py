@@ -151,7 +151,12 @@ def lsh_signatures(
     if with_full_sig:
         keep_schema += ", all_sigs array<long>"
     cols = [id_col, emb_col] + [c for c in keep if c != emb_col]
-    return emb_df.select(*cols).mapInPandas(
+    from .partitioning import ensure_min_partitions
+
+    # the signature GEMM runs in the scan stage, and the signature table's
+    # partitioning seeds every downstream bucket join — widen a narrow
+    # (single-split) input here once (no-op for streaming/multi-split)
+    return ensure_min_partitions(emb_df.select(*cols)).mapInPandas(
         gen, f"{id_col} long, table int, sig long{keep_schema}"
     )
 

@@ -65,7 +65,13 @@ def winnow_fingerprints(
                 {id_col: np.concatenate(ids), "fingerprint": np.concatenate(fps)}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, fingerprint long")
+    from .partitioning import ensure_min_partitions
+
+    # the rolling-hash winnow kernel runs in the scan stage — widen a
+    # narrow (single-split) input or every document hashes on one core
+    return ensure_min_partitions(docs.select(id_col, text_col)).mapInPandas(
+        gen, f"{id_col} long, fingerprint long"
+    )
 
 
 def fingerprint_overlap_pairs(
@@ -169,8 +175,12 @@ def repetition_stats(
         return _repetition_maponly(docs, tuple(ns), id_col, text_col, thresholds)
     if method != "shuffle":
         raise ValueError("method must be 'shuffle' or 'maponly'")
+    from .partitioning import ensure_min_partitions
+
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = docs.select(
+    # tokenize + n-gram explode + the partial aggregation all run in the
+    # scan stage — widen a narrow input first (no-op on multi-split scans)
+    base = ensure_min_partitions(docs).select(
         F.col(id_col), words.alias("ws"), F.size(words).alias("n_words")
     )
     per_n = [
@@ -249,6 +259,8 @@ def _repetition_maponly(
     th = {n: thresholds[n] for n in sorted(thresholds) if n in ns}
     ws_re = re.compile(r"\s+", re.ASCII)
 
+    from .partitioning import ensure_min_partitions
+
     def gen(batches):
         from collections import Counter
 
@@ -278,4 +290,6 @@ def _repetition_maponly(
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+    # per-document Counters run in the scan stage — widen a narrow input
+    # (no-op for streaming inputs and multi-split scans)
+    return ensure_min_partitions(docs.select(id_col, text_col)).mapInPandas(gen, schema)
