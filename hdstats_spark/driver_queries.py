@@ -1145,7 +1145,10 @@ def q_knn_cosine(spark, sf_dir, k=5, n_queries=5):
                 }
             )
 
-    sims = corpus.select("vec_id", "embedding").mapInPandas(
+    from .operators.partitioning import ensure_min_partitions
+
+    # the brute-force GEMM runs in the scan stage — widen a narrow input
+    sims = ensure_min_partitions(corpus.select("vec_id", "embedding")).mapInPandas(
         gemm, "query_id long, neighbor_id long, _sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
@@ -1225,7 +1228,11 @@ def q_embedding_dups(spark, sf_dir, threshold=0.4):
                 {"id_a": xids[ii], "id_b": rid[jj], "cos_sim": S[ii, jj]}
             )
 
-    return corpus.mapInPandas(gemm, "id_a long, id_b long, cos_sim double")
+    from .operators.partitioning import ensure_min_partitions
+
+    return ensure_min_partitions(corpus).mapInPandas(
+        gemm, "id_a long, id_b long, cos_sim double"
+    )
 
 
 def _sql_embedding_dups(threshold=0.4):

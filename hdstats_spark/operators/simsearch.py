@@ -96,6 +96,7 @@ def lsh_signatures(
     emb_df: DataFrame, dim: int, k: int = 16, tables: int = 8, seed: int = 11,
     id_col: str = "vec_id", emb_col: str = "embedding",
     keep_cols: list[str] | None = None, with_full_sig: bool = False,
+    widen: bool = True,
 ) -> DataFrame:
     """(id, table, sig) — one k-bit signature per hash table per vector.
 
@@ -151,12 +152,18 @@ def lsh_signatures(
     if with_full_sig:
         keep_schema += ", all_sigs array<long>"
     cols = [id_col, emb_col] + [c for c in keep if c != emb_col]
-    from .partitioning import ensure_min_partitions
+    src = emb_df.select(*cols)
+    if widen:
+        from .partitioning import ensure_min_partitions
 
-    # the signature GEMM runs in the scan stage, and the signature table's
-    # partitioning seeds every downstream bucket join — widen a narrow
-    # (single-split) input here once (no-op for streaming/multi-split)
-    return ensure_min_partitions(emb_df.select(*cols)).mapInPandas(
+        # the signature GEMM runs in the scan stage, and the signature
+        # table's partitioning seeds every downstream bucket join — widen a
+        # narrow (single-split) input once (no-op for streaming/multi-split
+        # inputs).  Callers signing a SMALL side (a query batch) pass
+        # widen=False: an exchange plus 32-task stages for a handful of
+        # rows is pure overhead.
+        src = ensure_min_partitions(src)
+    return src.mapInPandas(
         gen, f"{id_col} long, table int, sig long{keep_schema}"
     )
 
@@ -249,8 +256,13 @@ def knn_lsh(
 ) -> DataFrame:
     """Approximate top-k: LSH bucket candidates → exact cosine re-rank.
     Returns (query_id, neighbor_id, cos_sim, rnk)."""
-    cs = lsh_signatures(corpus, dim, k, tables, seed, id_col, emb_col)
-    qs = lsh_signatures(queries, dim, k, tables, seed, id_col, emb_col)
+    # widen=False both sides: the query batch is tiny by contract and the
+    # per-query candidate work is O(tables · bucket) — the extra exchange +
+    # 32-task stages that widening adds cost more than the GEMMs here (at
+    # cluster scale a large corpus arrives as many splits and is parallel
+    # regardless)
+    cs = lsh_signatures(corpus, dim, k, tables, seed, id_col, emb_col, widen=False)
+    qs = lsh_signatures(queries, dim, k, tables, seed, id_col, emb_col, widen=False)
     cands = (
         qs.select(F.col(id_col).alias("query_id"), "table", "sig")
         .join(cs.select(F.col(id_col).alias("neighbor_id"), "table", "sig"), ["table", "sig"])
