@@ -56,7 +56,15 @@ def _event_buckets(spark, sf_dir, unit="hour") -> DataFrame:
         F.max("value").alias("v_max"),
         F.count(F.lit(1)).alias("n_events"),
     ]
-    return ev.groupBy("user_id", F.date_trunc(unit, "ts").alias("bucket")).agg(*aggs)
+    out = ev.groupBy("user_id", F.date_trunc(unit, "ts").alias("bucket")).agg(*aggs)
+    if unit == "hour":
+        # the hourly bucket tier is the shared base of seven queries (the
+        # dense tiers, mad_vs_centroid, dist_to_centroid, derived-measure
+        # and fixed-grid mirrors): in the production engine it is a
+        # materialized rollup tier; .cache() plays that role and the
+        # CacheManager dedupes the identical plan across queries
+        out = out.cache()
+    return out
 
 
 _EVENT_BUCKETS_SQL = """
@@ -1402,7 +1410,7 @@ def q_symmetry(spark, sf_dir):
     from .operators.series import geomedian_mads_flat
 
     dense, chans = _dense_event_series(spark, sf_dir)
-    gm = geomedian_mads_flat(dense, chans, with_mads=False)
+    gm = geomedian_mads_flat(dense, chans, with_mads=False, cache_prepared=True)
     return symmetry_agg(dense, gm.drop("n"), chans)
 
 
@@ -1457,7 +1465,7 @@ def q_geomedian_mads(spark, sf_dir):
     from .operators.series import geomedian_mads_flat
 
     dense, chans = _dense_event_series(spark, sf_dir)
-    return geomedian_mads_flat(dense, chans)
+    return geomedian_mads_flat(dense, chans, cache_prepared=True)
 
 
 def q_fourier_features(spark, sf_dir):

@@ -380,9 +380,17 @@ def geomedian_mads_flat(
     with_mads: bool = True,
     key_col: str = "conv_id",
     order_col: str = "bucket",
+    cache_prepared: bool = False,
 ) -> DataFrame:
     """Flagship composite over FLAT tier rows — the many-tiny-series fast
     path (composite tier at 10^6-10^9 conversations).
+
+    ``cache_prepared=True`` caches the hash-partitioned, within-partition-
+    sorted flat input (the expensive prefix — ~1M-row exchange + Tungsten
+    sort at sf0.1) through the CacheManager, so the with-MADs composite
+    (q_geomedian_mads) and the gm-only pass symmetry needs share ONE
+    sort instead of re-running it per query — same plan-dedup pattern as
+    the dense tier itself.
 
     ``series_table`` (collect_list of structs) costs ~20 JVM core-seconds per
     million rows in object churn; this variant instead hash-partitions by the
@@ -414,6 +422,8 @@ def geomedian_mads_flat(
         .repartition(par, key_col)
         .sortWithinPartitions(key_col, order_col)
     )
+    if cache_prepared:
+        prepared = prepared.cache()
 
     def gen(batches):
         carry = None  # trailing partial group: dict of arrays
