@@ -330,8 +330,11 @@ def fourier_features_batched(
     batched FFT per (Arrow batch × length class)."""
     cols = [f"{stat}_{k}" for stat in ("fmean", "fstd", "fmedian") for k in range(n)]
     schema = f"{key_col} string, " + ", ".join(f"{c} float" for c in cols)
-    sc = series_df.sparkSession.sparkContext
-    series_df = series_df.repartition(sc.defaultParallelism)
+    # no forced repartition: the batched FFT is light per series (one
+    # vectorized transform per length class), so AQE's size-based
+    # coalescing of the series table IS the right task sizing — the
+    # round-robin widening that the Weiszfeld/DTW/CWT kernels need cost
+    # more in per-task Python overhead than this kernel's whole compute
 
     def gen(batches):
         for pdf in batches:
@@ -357,7 +360,9 @@ def discordance_batched(
     collect of O(max series length) rows, see driver_queries.q_discordance)."""
     sc = series_df.sparkSession.sparkContext
     bcurve = sc.broadcast(np.asarray(area_lp, dtype=np.float32))
-    series_df = series_df.repartition(sc.defaultParallelism)
+    # no forced repartition — same reasoning as fourier_features_batched:
+    # the per-series work is one FFT round-trip, lighter than the task
+    # overhead a 32-way widening adds
 
     def gen(batches):
         curve = bcurve.value
