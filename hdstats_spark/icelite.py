@@ -2337,10 +2337,102 @@ class IceliteTable:
         chain.reverse()
         return chain
 
-    def _conform(self, df: DataFrame, end: Snapshot) -> DataFrame:
+    def read_with_partition(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        partitions: list[str] | None = None,
+    ) -> DataFrame | None:
+        """``read`` plus a ``_partition`` column carrying each row's
+        manifest partition value — ONE reader per delete-equivalence class
+        instead of one full ``read`` per partition (the changelog's live
+        sides paid ~30 ms of driver-side reader setup per partition per
+        commit).  Attribution is by data-file basename (uuid-unique) via a
+        literal map over ``input_file_name()``; falls back to the exact
+        per-partition loop beyond 64 files per class, where a literal map
+        expression would bloat the plan.  Returns None when nothing
+        matches the partition filter (callers treat it as "no live
+        rows")."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        snap, classes, dentries, _ = self._plan_scan(snapshot_id, partitions, None, None)
+        if not classes:
+            return None
+        fmap: dict[str, str] = {}
+        for value, m in snap.partitions.items():
+            if partitions is not None and value not in partitions:
+                continue
+            for f in m["files"]:
+                base = os.path.basename(f)
+                if fmap.setdefault(base, value) != value:
+                    # basename collision across partitions — cannot
+                    # attribute by name; exact fallback
+                    return self._read_with_partition_slow(spark, snapshot_id, partitions)
+        if any(len(fs) > 64 for fs in classes.values()):
+            return self._read_with_partition_slow(spark, snapshot_id, partitions)
+        kdf_memo: dict[tuple, DataFrame] = {}
+        frames = []
+        for key, cls_files in classes.items():
+            entries = [(os.path.basename(p), fmap[os.path.basename(p)]) for p in cls_files]
+            mapping = F.create_map(
+                *[F.lit(x) for b, v in entries for x in (b, v)]
+            )
+            dfc = self._reader(spark, snap).parquet(*cls_files).withColumn(
+                "_partition",
+                F.element_at(
+                    mapping, F.element_at(F.split(F.input_file_name(), "/"), -1)
+                ),
+            )
+            if key:
+                by_cols: dict[tuple, list[str]] = {}
+                for p in key:
+                    cols = tuple(dentries[p]["keys"])
+                    by_cols.setdefault(cols, []).append(
+                        p if os.path.isabs(p) else os.path.join(self.root, p)
+                    )
+                for cols, paths in by_cols.items():
+                    ck = (cols, tuple(sorted(paths)))
+                    keys_df = kdf_memo.get(ck)
+                    if keys_df is None:
+                        keys_df = spark.read.parquet(*paths).select(*cols).distinct()
+                        kdf_memo[ck] = keys_df
+                    dfc = dfc.join(F.broadcast(keys_df), on=list(cols), how="left_anti")
+            frames.append(dfc)
+        return reduce(DataFrame.unionByName, frames)
+
+    def _read_with_partition_slow(
+        self, spark, snapshot_id, partitions
+    ) -> DataFrame | None:
+        """Exact per-partition fallback for read_with_partition."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot(snapshot_id)
+        values = [
+            v
+            for v, m in snap.partitions.items()
+            if m["files"] and (partitions is None or v in partitions)
+        ]
+        if not values:
+            return None
+        frames = [
+            self.read(spark, snapshot_id=snap.snapshot_id, partitions=[v])
+            .withColumn("_partition", F.lit(v))
+            for v in values
+        ]
+        return reduce(DataFrame.unionByName, frames)
+
+    def _conform(
+        self, df: DataFrame, end: Snapshot, keep: tuple = ()
+    ) -> DataFrame:
         """Project ``df`` onto the END snapshot's data-column schema
         (missing columns NULL-backfilled) so frames from commits on either
-        side of a schema evolution union cleanly."""
+        side of a schema evolution union cleanly.  ``keep`` appends named
+        pass-through columns (e.g. the changelog's ``_partition``) after
+        the data columns."""
         if end.schema is None:
             return df
         from pyspark.sql import functions as F
@@ -2352,7 +2444,8 @@ class IceliteTable:
             *[
                 F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in st.fields
-            ]
+            ],
+            *[F.col(c) for c in keep],
         )
 
     def changes_between(
@@ -2451,15 +2544,12 @@ class IceliteTable:
                 # semi-joined ON (keys + _partition), which is row-for-row
                 # the same masking as the per-partition joins (a key only
                 # ever matches rows of the partition it was attached to).
-                ins_frames: list[DataFrame] = []
+                ins_entries: list[tuple[str, list[str]]] = []
                 del_groups: dict[tuple, list] = {}
                 for value, m in d["parts"].items():
                     if m["files"]:
-                        paths = [self._abs(f) for f in m["files"]]
-                        ins_frames.append(
-                            self._conform(
-                                self._reader(spark, end).parquet(*paths), end
-                            ).withColumn("_partition", F.lit(value))
+                        ins_entries.append(
+                            (value, [self._abs(f) for f in m["files"]])
                         )
                     for de in m.get("deletes") or ():
                         if value not in pparts or not pparts[value]["files"]:
@@ -2467,13 +2557,37 @@ class IceliteTable:
                         del_groups.setdefault(tuple(de["keys"]), []).append(
                             (value, de["file"])
                         )
-                if ins_frames:
-                    frames.append(
-                        stamp(
-                            reduce(DataFrame.unionByName, ins_frames),
-                            "insert", None, snap,
+                if ins_entries:
+                    # ONE reader for the commit's new files, partition
+                    # attributed per file basename — each extra
+                    # DataFrameReader.parquet() costs ~30 ms driver-side
+                    fmap = {
+                        os.path.basename(p): v for v, ps in ins_entries for p in ps
+                    }
+                    all_paths = [p for _, ps in ins_entries for p in ps]
+                    if len(fmap) == len(all_paths) and len(all_paths) <= 64:
+                        mapping = F.create_map(
+                            *[F.lit(x) for b, v in fmap.items() for x in (b, v)]
                         )
-                    )
+                        ins = self._reader(spark, end).parquet(*all_paths).withColumn(
+                            "_partition",
+                            F.element_at(
+                                mapping,
+                                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                            ),
+                        )
+                        ins = self._conform(ins, end, keep=("_partition",))
+                    else:  # basename collision or huge commit: exact loop
+                        ins = reduce(
+                            DataFrame.unionByName,
+                            [
+                                self._conform(
+                                    self._reader(spark, end).parquet(*ps), end
+                                ).withColumn("_partition", F.lit(v))
+                                for v, ps in ins_entries
+                            ],
+                        )
+                    frames.append(stamp(ins, "insert", None, snap))
                 for keycols, entries in del_groups.items():
                     # one reader per UNIQUE key file: an unscoped
                     # delete_by_keys attaches the SAME file to every
@@ -2493,20 +2607,14 @@ class IceliteTable:
                             for v, f in entries
                         ],
                     )
-                    live = reduce(
-                        DataFrame.unionByName,
-                        [
-                            self._conform(
-                                self.read(
-                                    spark,
-                                    snapshot_id=parent.snapshot_id,
-                                    partitions=[v],
-                                ),
-                                end,
-                            ).withColumn("_partition", F.lit(v))
-                            for v, _ in entries
-                        ],
+                    live_all = self.read_with_partition(
+                        spark,
+                        snapshot_id=parent.snapshot_id,
+                        partitions=[v for v, _ in entries],
                     )
+                    if live_all is None:
+                        continue
+                    live = self._conform(live_all, end, keep=("_partition",))
                     frames.append(
                         stamp(
                             live.join(
