@@ -891,9 +891,7 @@ def q_corpus_filter(spark, sf_dir, min_tokens=20, max_tokens=10_000, min_quality
     pass — the length/quality exprs are pure JVM columns and the
     canonical-copy test is a window min over md5(text), so no joins, no
     shuffles beyond the one hash partition."""
-    from .operators.partitioning import ensure_min_partitions
-
-    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
     _, n_tok, _, quality = _quality_cols()
     w = Window.partitionBy(F.md5("text"))
     is_canon = (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
@@ -1153,10 +1151,7 @@ def q_knn_cosine(spark, sf_dir, k=5, n_queries=5):
                 }
             )
 
-    from .operators.partitioning import ensure_min_partitions
-
-    # the brute-force GEMM runs in the scan stage — widen a narrow input
-    sims = ensure_min_partitions(corpus.select("vec_id", "embedding")).mapInPandas(
+    sims = corpus.select("vec_id", "embedding").mapInPandas(
         gemm, "query_id long, neighbor_id long, _sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))

@@ -1810,8 +1810,20 @@ class IceliteTable:
                 "whole partitions use overwrite_partitions"
             )
         fields = self._precheck_schema(df, partition_col, "upsert")
-        new = self._write_partition_files(df, partition_col, cluster)
-        kman = self._write_delete_key_files(df, keys_in_file, partition_col)
+        # the data-file and delete-key writes are independent Spark jobs
+        # over the same immutable batch — submit them from two driver
+        # threads so the key write back-fills executors freed by the data
+        # write's tail instead of waiting for it (guide-standard job
+        # overlap; Spark's scheduler is thread-safe)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fut_new = ex.submit(self._write_partition_files, df, partition_col, cluster)
+            fut_keys = ex.submit(
+                self._write_delete_key_files, df, keys_in_file, partition_col
+            )
+            new = fut_new.result()
+            kman = fut_keys.result()
         parts = {}
         for value, m in new.items():
             entry = dict(m)

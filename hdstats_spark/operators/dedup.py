@@ -627,9 +627,12 @@ def simhash_fingerprints(
             f"aggregate(sequence(1, length(t)), 0L, "
             f"(acc, i) -> (acc * 257 + ascii(substring(t, i, 1))) % {_MERSENNE}))"
         )
-    # token hashing (interpreted HOFs for poly31) + the popcount kernel run
-    # in the scan stage — widen a narrow input first
-    hashed = ensure_min_partitions(docs).select(id_col, *keep, th.alias("th"))
+    # widen only the poly31 mode: its per-character interpreted aggregate
+    # is ~10× the xxhash64 cost, so parallelism wins there, while for the
+    # codegen'd xxhash64 path the extra exchange costs more than the
+    # hashing it parallelizes (measured 0.65→0.74 s at sf0.1)
+    src = ensure_min_partitions(docs) if hash_mode == "poly31" else docs
+    hashed = src.select(id_col, *keep, th.alias("th"))
 
     def gen(batches):
         shifts = np.arange(n_bits, dtype=np.uint64)
