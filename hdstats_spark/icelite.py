@@ -203,6 +203,33 @@ def _stamp_seq(parts: dict, prev_parts: dict | None, mode: str, seq: int) -> dic
     return out
 
 
+_TAIL2_SAFE = re.compile(r"^[A-Za-z0-9._=/-]+$")
+
+
+def _path_tail2(p: str) -> str:
+    """Last two path components — the per-file identity used for
+    partition attribution: a part-file BASENAME alone repeats across the
+    partition dirs of one write job (same job uuid, same task index), but
+    '<partition dir>/<basename>' is unique within a table."""
+    return "/".join(p.replace(os.sep, "/").rstrip("/").split("/")[-2:])
+
+
+def _tail2_mappable(tails) -> bool:
+    """input_file_name() returns a URI, which percent-encodes characters
+    outside the unreserved set — a tail containing such characters would
+    not match its raw manifest form, so only URL-safe tails take the fused
+    attribution path (others fall back to exact per-partition reads)."""
+    return all(_TAIL2_SAFE.match(t) for t in tails)
+
+
+def _file_tail2_col():
+    """input_file_name()'s last two path components (matches _path_tail2)."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(F.input_file_name(), "/")
+    return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+
+
 def _data_fields(df: DataFrame, partition_col: str | None) -> list[dict]:
     """The write's DATA-column schema fields (partition col excluded — it
     lives in directory names / manifest keys, not the files), in
@@ -2377,25 +2404,22 @@ class IceliteTable:
             if partitions is not None and value not in partitions:
                 continue
             for f in m["files"]:
-                base = os.path.basename(f)
-                if fmap.setdefault(base, value) != value:
-                    # basename collision across partitions — cannot
-                    # attribute by name; exact fallback
+                tail = _path_tail2(f)
+                if fmap.setdefault(tail, value) != value:
+                    # tail collision across partitions — cannot attribute
+                    # by name; exact fallback
                     return self._read_with_partition_slow(spark, snapshot_id, partitions)
-        if any(len(fs) > 64 for fs in classes.values()):
+        if any(len(fs) > 64 for fs in classes.values()) or not _tail2_mappable(fmap):
             return self._read_with_partition_slow(spark, snapshot_id, partitions)
         kdf_memo: dict[tuple, DataFrame] = {}
         frames = []
         for key, cls_files in classes.items():
-            entries = [(os.path.basename(p), fmap[os.path.basename(p)]) for p in cls_files]
+            entries = [(_path_tail2(p), fmap[_path_tail2(p)]) for p in cls_files]
             mapping = F.create_map(
                 *[F.lit(x) for b, v in entries for x in (b, v)]
             )
             dfc = self._reader(spark, snap).parquet(*cls_files).withColumn(
-                "_partition",
-                F.element_at(
-                    mapping, F.element_at(F.split(F.input_file_name(), "/"), -1)
-                ),
+                "_partition", F.element_at(mapping, _file_tail2_col())
             )
             if key:
                 by_cols: dict[tuple, list[str]] = {}
@@ -2571,22 +2595,25 @@ class IceliteTable:
                         )
                 if ins_entries:
                     # ONE reader for the commit's new files, partition
-                    # attributed per file basename — each extra
-                    # DataFrameReader.parquet() costs ~30 ms driver-side
+                    # attributed per file path tail (the part-file basename
+                    # alone collides across a job's partition dirs — same
+                    # job uuid + task index — so key on the last TWO path
+                    # components); each extra DataFrameReader.parquet()
+                    # costs ~30 ms driver-side
                     fmap = {
-                        os.path.basename(p): v for v, ps in ins_entries for p in ps
+                        _path_tail2(p): v for v, ps in ins_entries for p in ps
                     }
                     all_paths = [p for _, ps in ins_entries for p in ps]
-                    if len(fmap) == len(all_paths) and len(all_paths) <= 64:
+                    if (
+                        len(fmap) == len(all_paths)
+                        and len(all_paths) <= 64
+                        and _tail2_mappable(fmap)
+                    ):
                         mapping = F.create_map(
                             *[F.lit(x) for b, v in fmap.items() for x in (b, v)]
                         )
                         ins = self._reader(spark, end).parquet(*all_paths).withColumn(
-                            "_partition",
-                            F.element_at(
-                                mapping,
-                                F.element_at(F.split(F.input_file_name(), "/"), -1),
-                            ),
+                            "_partition", F.element_at(mapping, _file_tail2_col())
                         )
                         ins = self._conform(ins, end, keep=("_partition",))
                     else:  # basename collision or huge commit: exact loop
