@@ -65,13 +65,7 @@ def winnow_fingerprints(
                 {id_col: np.concatenate(ids), "fingerprint": np.concatenate(fps)}
             )
 
-    from .partitioning import ensure_min_partitions
-
-    # the rolling-hash winnow kernel runs in the scan stage — widen a
-    # narrow (single-split) input or every document hashes on one core
-    return ensure_min_partitions(docs.select(id_col, text_col)).mapInPandas(
-        gen, f"{id_col} long, fingerprint long"
-    )
+    return docs.select(id_col, text_col).mapInPandas(gen, f"{id_col} long, fingerprint long")
 
 
 def fingerprint_overlap_pairs(
