@@ -67,7 +67,11 @@ def nangeomedian_batch(
         yprev = np.full_like(Y, np.nan)
         for it in range(maxiters):
             diff = Xa - y[:, :, None]  # f32
-            D = np.sqrt(np.einsum("gpn,gpn->gn", diff.astype(F64), diff.astype(F64))).astype(F32)
+            # one f64 cast, passed twice: the duplicated astype allocated a
+            # second (G, p, n) float64 tensor per iteration (identical
+            # values — einsum sees the same operand either way)
+            d64 = diff.astype(F64)
+            D = np.sqrt(np.einsum("gpn,gpn->gn", d64, d64)).astype(F32)
             far = np.abs(D) > 0.0
             Dinv = np.where(far, (1.0 / D.astype(F64)).astype(F32), F32(np.nan))
             Dinvs = np.nansum(Dinv, axis=1, dtype=F64).astype(F32)  # (g,)
@@ -396,7 +400,7 @@ def mads_batch(X: np.ndarray, gm: np.ndarray) -> dict[str, np.ndarray]:
         normb = np.einsum("gp->g", (gm * gm).astype(F64))
         cd = (1.0 - numer / (np.sqrt(norma) * np.sqrt(normb)[:, None])).astype(F32)
         smad = np.nanmedian(cd, axis=1)
-        ad = np.abs((X - g3).astype(F64)).sum(axis=1)
+        ad = np.abs(d).sum(axis=1)  # d is already (X - g3) in f64
         asum = np.abs((X + g3).astype(F64)).sum(axis=1)
         bcmad = np.nanmedian((ad / asum).astype(F32), axis=1)
     return {"emad": emad.astype(F32), "smad": smad.astype(F32), "bcmad": bcmad.astype(F32)}
