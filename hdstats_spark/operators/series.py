@@ -426,6 +426,10 @@ def geomedian_mads_flat(
         )
         .repartition(par, key_col)
         .sortWithinPartitions(key_col, order_col)
+        # the order column exists only to establish the within-partition
+        # sort; projecting it away preserves ordering and saves shipping
+        # 8 bytes/row through the Arrow boundary (~80 MB at 10M rows)
+        .select(key_col, *chans)
     )
     if cache_prepared:
         prepared = prepared.cache()
