@@ -2554,9 +2554,13 @@ def q_knn_ivf(spark, sf_dir):
     from .operators.simsearch import knn_ivf
 
     e = _t(spark, sf_dir, "embeddings")
+    # footer row count is an upper bound on the filtered corpus: lets the
+    # codebook skip its sizing count() job while it provably resolves to
+    # frac=1.0 (bit-identical sample) — the count returns at real scale
+    n_total, _ = _embeddings_meta(sf_dir, with_dim=False)
     return knn_ivf(
         e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5),
-        topk=5, nlist=16, nprobe=12,
+        topk=5, nlist=16, nprobe=12, n_upper=n_total,
     )
 
 
@@ -2572,9 +2576,12 @@ def q_knn_ivf_exact(spark, sf_dir):
     from .operators.simsearch import knn_ivf
 
     e = _t(spark, sf_dir, "embeddings")
+    # same footer upper bound as q_knn_ivf (nlist=1 makes the codebook a
+    # single centroid, so the skipped count is pure overhead here)
+    n_total, _ = _embeddings_meta(sf_dir, with_dim=False)
     return knn_ivf(
         e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5),
-        topk=5, nlist=1, nprobe=1,
+        topk=5, nlist=1, nprobe=1, n_upper=n_total,
     )
 
 

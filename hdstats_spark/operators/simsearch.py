@@ -171,15 +171,28 @@ def lsh_signatures(
 def kmeans_codebook(
     emb_df: DataFrame, nlist: int, sample: int = 20000, iters: int = 12,
     seed: int = 13, id_col: str = "vec_id", emb_col: str = "embedding",
+    n_upper: int | None = None,
 ) -> np.ndarray:
     """Train the IVF coarse quantizer: Lloyd's k-means on a bounded sample
     (deterministic seed).  Sample size is FIXED regardless of corpus size —
-    the driver never holds more than `sample` vectors."""
-    n = emb_df.count()
-    frac = min(1.0, (sample * 1.2) / max(n, 1))
-    pdf = (
-        emb_df.select(emb_col).sample(frac, seed=seed).limit(sample).toPandas()
-    )
+    the driver never holds more than `sample` vectors.
+
+    ``n_upper`` is an optional UPPER BOUND on the corpus row count (e.g.
+    from parquet footers).  When it proves the whole corpus fits the
+    sample, the sizing ``count()`` (a full Spark job) resolves to
+    ``frac = 1.0`` and the LIMIT to a no-op, so both are skipped — the
+    ``sample(1.0)`` Bernoulli pass keeps every row in order, making the
+    collected matrix bit-identical to the counted path.  Above the bound
+    (a real at-scale corpus) the exact count runs as before."""
+    if n_upper is not None and n_upper <= sample:
+        frac = 1.0
+        pdf = emb_df.select(emb_col).sample(frac, seed=seed).toPandas()
+    else:
+        n = emb_df.count()
+        frac = min(1.0, (sample * 1.2) / max(n, 1))
+        pdf = (
+            emb_df.select(emb_col).sample(frac, seed=seed).limit(sample).toPandas()
+        )
     X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)  # cosine → spherical
     rng = np.random.default_rng(seed)
@@ -229,12 +242,17 @@ def knn_ivf(
     corpus: DataFrame, queries: DataFrame, topk: int = 5,
     nlist: int = 16, nprobe: int = 4, seed: int = 13,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    n_upper: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: equi-join query probes with corpus inverted lists on
     list_id, exact cosine re-rank of list members only.  Recall/cost is the
     standard IVF dial: probe nprobe of nlist lists → touch ≈ nprobe/nlist of
-    the corpus (recall vs brute force pytest-verified)."""
-    C = kmeans_codebook(corpus, nlist, seed=seed, id_col=id_col, emb_col=emb_col)
+    the corpus (recall vs brute force pytest-verified).  ``n_upper`` (an
+    upper bound on the corpus size, e.g. from parquet footers) lets the
+    codebook skip its sizing count() when the corpus fits the sample."""
+    C = kmeans_codebook(
+        corpus, nlist, seed=seed, id_col=id_col, emb_col=emb_col, n_upper=n_upper
+    )
     lists = ivf_assign(corpus, C, nprobe=1, id_col=id_col, emb_col=emb_col)
     probes = ivf_assign(queries, C, nprobe=nprobe, id_col=id_col, emb_col=emb_col)
     paired = probes.select(
