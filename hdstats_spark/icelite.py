@@ -2097,6 +2097,105 @@ class IceliteTable:
         }
         return snap, classes, dentries, where
 
+    def _fused_delete_scan(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        classes: dict[tuple, list[str]],
+        dentries: dict[str, dict],
+        fmap: dict[str, str] | None = None,
+    ) -> DataFrame | None:
+        """ONE reader for ALL delete-equivalence classes (plus one key
+        reader per key-column set), replacing the one-reader-per-class
+        loop: each ~30 ms driver-side ``DataFrameReader.parquet()`` call
+        is the dominant cost of planning a MOR read, and a snapshot a few
+        upserts deep has one class per distinct pending-delete
+        combination.  Files carry a per-file class id attributed from
+        ``input_file_name()`` (the fused-insert-reader trick), and each
+        key-column set masks with a SINGLE broadcast anti join ON
+        (key cols + class id): a key row is exploded to exactly the class
+        ids its delete file is attached to, so the join is row-for-row the
+        per-class anti join — a key can only eliminate rows of classes its
+        delete file applies to.  ``fmap`` (tail2 → partition value)
+        additionally attaches the changelog's ``_partition`` column.
+
+        Returns None when per-file attribution is infeasible (tail
+        collisions, URL-unsafe tails, >64 files per reader — the same
+        conditions as every other fused-attribution path); callers fall
+        back to the exact per-class loop."""
+        from pyspark.sql import functions as F
+
+        all_files = [p for fs in classes.values() for p in fs]
+        tails = {_path_tail2(p) for p in all_files}
+        if (
+            len(tails) != len(all_files)
+            or len(all_files) > 64
+            or not _tail2_mappable(tails)
+        ):
+            return None
+        # cols-set -> abs delete path -> [class ids it masks]
+        by_cols: dict[tuple, dict[str, list[int]]] = {}
+        for ci, key in enumerate(classes):
+            for p in key:
+                cols = tuple(dentries[p]["keys"])
+                ap = p if os.path.isabs(p) else os.path.join(self.root, p)
+                by_cols.setdefault(cols, {}).setdefault(ap, []).append(ci)
+        for cols, dmap in by_cols.items():
+            dtails = {_path_tail2(p) for p in dmap}
+            if (
+                len(dtails) != len(dmap)
+                or len(dmap) > 64
+                or not _tail2_mappable(dtails)
+                or "__cls" in cols
+                or "__dtail" in cols
+            ):
+                return None
+        cls_map = F.create_map(
+            *[
+                F.lit(x)
+                for ci, fs in enumerate(classes.values())
+                for p in fs
+                for x in (_path_tail2(p), ci)
+            ]
+        )
+        df = self._reader(spark, snap).parquet(*all_files)
+        if "__cls" in df.columns or "__dtail" in df.columns:
+            return None
+        df = df.withColumn("__cls", F.element_at(cls_map, _file_tail2_col()))
+        if fmap is not None:
+            pmap = F.create_map(
+                *[F.lit(x) for t, v in fmap.items() for x in (t, v)]
+            )
+            df = df.withColumn(
+                "_partition", F.element_at(pmap, _file_tail2_col())
+            )
+        for cols, dmap in by_cols.items():
+            amap = F.create_map(
+                *[
+                    x
+                    for p, cids in dmap.items()
+                    for x in (
+                        F.lit(_path_tail2(p)),
+                        F.array(*[F.lit(ci) for ci in cids]),
+                    )
+                ]
+            )
+            keys = (
+                spark.read.parquet(*dmap)
+                .select(*cols, _file_tail2_col().alias("__dtail"))
+                .distinct()
+                .select(
+                    *cols,
+                    F.explode(F.element_at(amap, F.col("__dtail"))).alias(
+                        "__cls"
+                    ),
+                )
+            )
+            df = df.join(
+                F.broadcast(keys), on=[*cols, "__cls"], how="left_anti"
+            )
+        return df.select(*[c for c in df.columns if c != "__cls"])
+
     def _union_delete_classes(
         self,
         spark: SparkSession,
@@ -2109,11 +2208,20 @@ class IceliteTable:
         O(changed keys) — next to the data they mask; at 100 TB the anti
         join is a map-side hash probe, no shuffle of the data side).  Delete
         files sharing a key-column set are unioned into one key frame, so a
-        long upsert run adds one anti join, not one per commit."""
+        long upsert run adds one anti join, not one per commit.
+
+        With more than one class the classes are fused into a single
+        reader + one anti join per key-column set (``_fused_delete_scan``);
+        the per-class loop below is the exact fallback (and the one-class
+        fast path, where fusion would only add attribution overhead)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
 
+        if len(classes) > 1:
+            fused = self._fused_delete_scan(spark, snap, classes, dentries)
+            if fused is not None:
+                return fused
         frames = []
         # memoize key frames per (cols, files): an unscoped delete attaches
         # ONE key file to every partition, so sibling classes would each
@@ -2411,6 +2519,12 @@ class IceliteTable:
                     return self._read_with_partition_slow(spark, snapshot_id, partitions)
         if any(len(fs) > 64 for fs in classes.values()) or not _tail2_mappable(fmap):
             return self._read_with_partition_slow(spark, snapshot_id, partitions)
+        # fuse every class into one reader + one anti join per key-column
+        # set (same row-for-row masking — see _fused_delete_scan); the
+        # per-class loop below remains the exact fallback
+        fused = self._fused_delete_scan(spark, snap, classes, dentries, fmap=fmap)
+        if fused is not None:
+            return fused
         kdf_memo: dict[tuple, DataFrame] = {}
         frames = []
         for key, cls_files in classes.items():
@@ -2628,24 +2742,67 @@ class IceliteTable:
                         )
                     frames.append(stamp(ins, "insert", None, snap))
                 for keycols, entries in del_groups.items():
-                    # one reader per UNIQUE key file: an unscoped
-                    # delete_by_keys attaches the SAME file to every
-                    # partition, and each DataFrameReader.parquet() call
-                    # costs ~30 ms of driver-side listing/resolution
-                    kdfs: dict[str, DataFrame] = {}
-                    for _, f in entries:
-                        if f not in kdfs:
-                            kdfs[f] = (
-                                spark.read.parquet(self._abs(f))
-                                .select(*keycols).distinct()
+                    # ONE reader for all the group's UNIQUE key files
+                    # (each DataFrameReader.parquet() call costs ~30 ms of
+                    # driver-side listing/resolution): per-file keys are
+                    # deduped with the file tail in the distinct, then
+                    # exploded to the partitions whose manifest entries
+                    # reference that file — the same (key, partition) rows
+                    # as the old per-file read+stamp+union.  Falls back to
+                    # the per-file loop when tails collide / are
+                    # URL-unsafe / the commit exceeds 64 key files.
+                    uniq = list(dict.fromkeys(f for _, f in entries))
+                    utails = {_path_tail2(self._abs(f)) for f in uniq}
+                    parts_by_tail: dict[str, list] = {}
+                    for v, f in entries:
+                        parts_by_tail.setdefault(
+                            _path_tail2(self._abs(f)), []
+                        ).append(v)
+                    if (
+                        len(utails) == len(uniq)
+                        and len(uniq) <= 64
+                        and _tail2_mappable(utails)
+                        and "_partition" not in keycols
+                        and "__dtail" not in keycols
+                    ):
+                        amap = F.create_map(
+                            *[
+                                x
+                                for tl, vs in parts_by_tail.items()
+                                for x in (
+                                    F.lit(tl),
+                                    F.array(*[F.lit(v) for v in vs]),
+                                )
+                            ]
+                        )
+                        keys = (
+                            spark.read.parquet(*[self._abs(f) for f in uniq])
+                            .select(
+                                *keycols, _file_tail2_col().alias("__dtail")
                             )
-                    keys = reduce(
-                        DataFrame.unionByName,
-                        [
-                            kdfs[f].withColumn("_partition", F.lit(v))
-                            for v, f in entries
-                        ],
-                    )
+                            .distinct()
+                            .select(
+                                *keycols,
+                                F.explode(
+                                    F.element_at(amap, F.col("__dtail"))
+                                ).alias("_partition"),
+                            )
+                        )
+                    else:
+                        kdfs: dict[str, DataFrame] = {}
+                        for _, f in entries:
+                            if f not in kdfs:
+                                kdfs[f] = (
+                                    spark.read.parquet(self._abs(f))
+                                    .select(*keycols).distinct()
+                                )
+                        keys = reduce(
+                            DataFrame.unionByName,
+                            [
+                                kdfs[f].withColumn("_partition", F.lit(v))
+                                for v, f in entries
+                            ],
+                        )
                     live_all = self.read_with_partition(
                         spark,
                         snapshot_id=parent.snapshot_id,
