@@ -53,11 +53,27 @@ def _swap_cache(key: str, df: DataFrame) -> DataFrame:
     with _live_caches_lock:
         prev = _live_caches.get(key)
         if prev is not None:
+            # when the new call rebuilds the IDENTICAL plan (bench repeats,
+            # a sibling query sharing the same intermediate — e.g.
+            # dup_clusters after ngram_jaccard, both over the same shingle
+            # table), keep the already-warm cache instead of dropping and
+            # refilling it: unpersist-then-recache discards the
+            # materialized blocks and pays the full recompute on the next
+            # action for zero correctness benefit
+            try:
+                if (
+                    prev.sparkSession is df.sparkSession
+                    and prev._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(df._jdf.queryExecution().analyzed())
+                ):
+                    return prev
+            except Exception:
+                pass  # stopped session / analysis error: treat as different
             # unpersist BEFORE caching the successor: Spark's CacheManager
-            # keys entries by logical plan, so when the new call rebuilds
-            # the IDENTICAL plan (bench repeats, parity re-runs), a
-            # cache-then-unpersist order would drop the entry that was
-            # just registered and silently uncache the new call too
+            # keys entries by logical plan, so a cache-then-unpersist order
+            # would drop the entry that was just registered and silently
+            # uncache the new call too
             try:
                 prev.unpersist()
             except Exception:
