@@ -21,6 +21,8 @@ semantics are pytest-verified against hdstats_oracle instead.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -35,8 +37,27 @@ EVENT_CHANNELS = tuple(f"cnt_{t}" for t in EVENT_TYPES) + ("v_sum", "v_max", "n_
 STOPWORDS = ("the", "a", "of", "and", "key", "value")
 
 
+# lazy base-table readers memoized per live session: each
+# DataFrameReader.parquet() costs ~30 ms of driver-side listing + footer
+# schema inference, and a bench pass issues ~200 _t calls over the same
+# handful of immutable paths.  The memo holds only UNEXECUTED reader
+# plans — every action still scans the parquet files — and is keyed on
+# the session object itself (weakly, so a stopped session's entries die
+# with it rather than leaking plans across sessions).
+_t_memo: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    per_session = _t_memo.get(spark)
+    if per_session is None:
+        per_session = _t_memo[spark] = {}
+    df = per_session.get(path)
+    if df is None:
+        df = per_session[path] = spark.read.parquet(path)
+    return df
 
 
 def _r6(c):
