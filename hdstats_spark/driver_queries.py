@@ -1044,6 +1044,41 @@ def _parquet_rows(path):
     return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
 
 
+def _parquet_col_max(path, col):
+    """Exact column max of a parquet file-or-dir from FOOTER row-group
+    statistics — zero Spark jobs.  Parquet min/max stats are exact for
+    integer/float physical types (no truncation, unlike strings), so when
+    every non-empty row group carries them the result equals
+    ``agg(max(col))``.  Returns None (caller falls back to the Spark job)
+    if any row group lacks the statistic."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    best = None
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        try:
+            ci = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if rg.num_rows == 0:
+                continue
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            best = st.max if best is None else max(best, st.max)
+    return best
+
+
 _EMB_MIRROR_TARGET = 2000  # sf0.1 embeddings rows
 _DOC_MIRROR_TARGET = 5000  # sf0.1 documents rows
 
@@ -2958,8 +2993,12 @@ def q_icelite_scan(spark, sf_dir):
         cluster="asis",
     )
     # O(1) driver scalar: the filter literal must be known at plan time for
-    # Catalyst to push it down to the data source
-    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    # Catalyst to push it down to the data source.  Footer row-group stats
+    # answer it exactly with zero Spark jobs (the _embeddings_meta
+    # pattern); the full-scan aggregate remains the stats-missing fallback
+    hi = _parquet_col_max(f"{sf_dir}/events.parquet", "event_id")
+    if hi is None:
+        hi = ev.agg(F.max("event_id")).collect()[0][0]
     thr = int(hi) // 5
     df = (
         spark.read.format("icelite")
