@@ -140,6 +140,12 @@ def _rollup_sums(spark, sf_dir, unit):
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
+    # the minute tier IS the engine's materialized base rollup tier (the
+    # same rationale as _event_buckets' hourly cache): both cascade units
+    # fold from this identical plan, and the CacheManager dedupes it, so
+    # the 1h and 1d cascades share one materialization instead of each
+    # re-aggregating the raw events
+    t1m = t1m.cache()
     return t1m.groupBy("user_id", F.date_trunc(unit, "bucket").alias("bucket")).agg(
         F.sum("n_events").alias("n_events"),
         _r6(F.sum("v_sum")).alias("v_sum"),
