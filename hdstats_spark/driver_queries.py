@@ -347,11 +347,7 @@ def q_wiener_smooth(spark, sf_dir, k=3):
     mean series — fully SQL-expressible, so DuckDB-checked."""
     from .operators.smooth import wiener_smooth
 
-    hourly = (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.avg("value").alias("v"))
-    )
+    hourly = _hourly_mean(spark, sf_dir)
     out = wiener_smooth(hourly, "v", k=k, key_col="user_id")
     return out.select("user_id", "bucket", _r6("v_smooth").alias("v_smooth"))
 
